@@ -1,0 +1,231 @@
+"""Typed configuration tree.
+
+Replaces the reference's three stacked config mechanisms (module-level ``preset``
+dicts, argparse overrides, and the env-var overlay that rewrites preset.py on
+disk — reference: benchmark/wifi_csi/preset.py:8-96, run_main.py:70-84,
+config_modifier.py:14-46) with one dataclass tree supporting dotted-path
+overrides from CLI, environment variables, and JSON files.
+
+Default values reproduce the reference presets exactly so experiment configs
+are directly comparable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+# Encoding tables are config data in the reference (wifi_csi/preset.py:69-90).
+ACTIVITY_ENCODING: Dict[str, List[int]] = {
+    "nan":      [0, 0, 0, 0, 0, 0, 0, 0, 0],
+    "nothing":  [1, 0, 0, 0, 0, 0, 0, 0, 0],
+    "walk":     [0, 1, 0, 0, 0, 0, 0, 0, 0],
+    "rotation": [0, 0, 1, 0, 0, 0, 0, 0, 0],
+    "jump":     [0, 0, 0, 1, 0, 0, 0, 0, 0],
+    "wave":     [0, 0, 0, 0, 1, 0, 0, 0, 0],
+    "lie_down": [0, 0, 0, 0, 0, 1, 0, 0, 0],
+    "pick_up":  [0, 0, 0, 0, 0, 0, 1, 0, 0],
+    "sit_down": [0, 0, 0, 0, 0, 0, 0, 1, 0],
+    "stand_up": [0, 0, 0, 0, 0, 0, 0, 0, 1],
+}
+
+LOCATION_ENCODING: Dict[str, List[int]] = {
+    "nan": [0, 0, 0, 0, 0],
+    "a":   [1, 0, 0, 0, 0],
+    "b":   [0, 1, 0, 0, 0],
+    "c":   [0, 0, 1, 0, 0],
+    "d":   [0, 0, 0, 1, 0],
+    "e":   [0, 0, 0, 0, 1],
+}
+
+
+@dataclass
+class PathConfig:
+    """Dataset/result locations (reference: wifi_csi/preset.py:20-24)."""
+    data_x: str = "dataset/wifi_csi/amp"
+    data_y: str = "dataset/annotation.csv"
+    save: str = "results/result.json"
+    # video-specific (video/preset.py:19-25)
+    video_x: str = "dataset/video"
+    video_pre_x: str = "dataset/cache"
+    save_model: Optional[str] = None
+
+
+@dataclass
+class DataConfig:
+    """Data selection (reference: wifi_csi/preset.py:27-32)."""
+    num_users: List[str] = field(default_factory=lambda: ["0", "1", "2", "3", "4", "5"])
+    wifi_band: List[str] = field(default_factory=lambda: ["5"])
+    environment: List[str] = field(default_factory=lambda: ["empty_room"])
+    length: int = 3000          # CSI time steps after left-pad
+    frame_stride: int = 1       # video frame downsampling (video/preset.py:40)
+
+
+@dataclass
+class SchedulerConfig:
+    """Cosine-warmup schedule knobs (reference: wifi_csi/preset.py:47-51)."""
+    type: str = "cosine_warmup"
+    num_warmup_epochs: int = 10
+    min_lr_ratio: float = 0.05
+
+
+@dataclass
+class LossConfig:
+    """Set-matching loss knobs (reference: wifi_csi/preset.py:52-59)."""
+    type: str = "HungarianMatchingLoss"
+    cost_class_weight: float = 1.0
+    aux_loss_weight: float = 0.25
+    label_smoothing: float = 0.3
+    class_imbalance_weight: float = 0.25
+
+
+@dataclass
+class NNConfig:
+    """Model/optimizer hyperparameters (reference: wifi_csi/preset.py:42-66)."""
+    lr: float = 5e-4
+    epoch: int = 300
+    batch_size: int = 16
+    threshold: float = 0.5
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    cross_attention_temp: float = 2.0
+    weight_decay: float = 2e-4
+    num_obj_queries: int = 5
+    num_decoder_layers: int = 6
+    dim_ffn: int = 512
+    token_length: int = 10
+    patience: int = 150
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh axes for SPMD execution. No reference counterpart — the
+    reference is single-device (SURVEY.md §2.5); this is the TPU-native
+    execution model: data/fsdp/model named axes over ICI."""
+    data: int = -1   # -1: all remaining devices
+    model: int = 1   # tensor-parallel degree (attention heads / FFN shards)
+
+    def resolved(self, n_devices: int) -> Dict[str, int]:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else max(1, n_devices // model)
+        return {"data": data, "model": model}
+
+
+@dataclass
+class Config:
+    """Root experiment config (superset of both reference presets)."""
+    model: str = "DETR"
+    task: str = "activity"        # identity | activity | location
+    repeat: int = 8
+    path: PathConfig = field(default_factory=PathConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    data_band2: DataConfig = field(default_factory=DataConfig)
+    nn: NNConfig = field(default_factory=NNConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    encoding_activity: Dict[str, List[int]] = field(default_factory=lambda: dict(ACTIVITY_ENCODING))
+    encoding_location: Dict[str, List[int]] = field(default_factory=lambda: dict(LOCATION_ENCODING))
+    # transfer learning (reference: wifi_csi/preset.py:91-95)
+    pretrained_path: Optional[str] = None
+    transfer_scenario: str = "full"   # full | feature_extractor | feature_encoder
+    save_model: bool = False
+    saving_path: str = "results/"
+    # observability
+    wandb_project: Optional[str] = None   # None => stdout/JSONL only
+    log_jsonl: Optional[str] = None
+    profile_dir: Optional[str] = None
+    # numerics: bf16 matmuls on MXU with f32 accumulation
+    compute_dtype: str = "bfloat16"
+
+    # ------------------------------------------------------------------ #
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def override(self, dotted: Dict[str, Any]) -> "Config":
+        """Return a new Config with dotted-path overrides applied.
+
+        e.g. override({"nn.lr": 1e-3, "data.environment": ["classroom"]}).
+        """
+        cfg = dataclasses.replace(self)
+        for key, value in dotted.items():
+            node: Any = cfg
+            parts = key.split(".")
+            for part in parts[:-1]:
+                node = getattr(node, part)
+            leaf = parts[-1]
+            if not hasattr(node, leaf):
+                raise KeyError(f"unknown config key: {key}")
+            current = getattr(node, leaf)
+            if current is not None and not isinstance(current, type(value)) \
+                    and not (isinstance(current, float) and isinstance(value, int)):
+                # best-effort coercion for CLI string inputs
+                if isinstance(current, bool):
+                    value = str(value).lower() in ("1", "true", "yes")
+                elif isinstance(current, int):
+                    value = int(value)
+                elif isinstance(current, float):
+                    value = float(value)
+                elif isinstance(current, list) and isinstance(value, str):
+                    value = [v.strip() for v in value.split(",")]
+            setattr(node, leaf, value)
+        return cfg
+
+
+# Environment-variable overlay: same knob set as the reference's
+# config_modifier.py:14-46, mapped onto the typed tree instead of rewriting
+# preset.py on disk.
+_ENV_MAP = {
+    "LEARNING_RATE": ("nn.lr", float),
+    "BATCH_SIZE": ("nn.batch_size", int),
+    "NUM_EPOCHS": ("nn.epoch", int),
+    "NUM_DECODER_LAYERS": ("nn.num_decoder_layers", int),
+    "DIM_FFN": ("nn.dim_ffn", int),
+    "NUM_QUERIES": ("nn.num_obj_queries", int),
+    "AUX_LOSS": ("nn.loss.aux_loss_weight", float),
+    "CLASS_IMBALANCE_WEIGHT": ("nn.loss.class_imbalance_weight", float),
+    "LABEL_SMOOTHING": ("nn.loss.label_smoothing", float),
+    "MODEL_TYPE": ("model", str),
+}
+
+
+def apply_env_overrides(cfg: Config, environ: Optional[Dict[str, str]] = None) -> Config:
+    """Overlay environment variables onto cfg (reference: config_modifier.py)."""
+    env = dict(os.environ) if environ is None else environ
+    overrides: Dict[str, Any] = {}
+    for var, (key, cast) in _ENV_MAP.items():
+        if var in env:
+            overrides[key] = cast(env[var])
+    if "DATA_PATH" in env:
+        overrides["path.data_x"] = env["DATA_PATH"] + "/wifi_csi/amp"
+        overrides["path.data_y"] = env["DATA_PATH"] + "/annotation.csv"
+    if "ENVIRONMENTS_EXP" in env:
+        overrides["data.environment"] = [e.strip() for e in env["ENVIRONMENTS_EXP"].split(",")]
+    return cfg.override(overrides) if overrides else cfg
+
+
+def load_config(path: Optional[str] = None,
+                cli_overrides: Optional[Dict[str, Any]] = None,
+                use_env: bool = True) -> Config:
+    """Config resolution order: defaults < JSON file < env vars < CLI."""
+    cfg = Config()
+    if path:
+        with open(path) as f:
+            cfg = cfg.override(_flatten(json.load(f)))
+    if use_env:
+        cfg = apply_env_overrides(cfg)
+    if cli_overrides:
+        cfg = cfg.override(cli_overrides)
+    return cfg
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    flat: Dict[str, Any] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict) and not key.endswith(("encoding_activity", "encoding_location")):
+            flat.update(_flatten(v, key + "."))
+        else:
+            flat[key] = v
+    return flat

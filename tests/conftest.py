@@ -1,0 +1,35 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding must be testable without TPU hardware, so every test run
+uses JAX's host-platform device-count override (SURVEY.md §4: 8-device CPU
+simulation). Set BEFORE jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def annotation_df():
+    """The real annotation.csv shipped with the reference dataset layout."""
+    import pandas as pd
+    path = "/root/reference/dataset/annotation.csv"
+    if not os.path.exists(path):
+        pytest.skip("annotation.csv not available")
+    return pd.read_csv(path, dtype=str)
