@@ -1,0 +1,66 @@
+"""Host-side input pipeline: shuffled full-batch iteration with device prefetch.
+
+Reproduces the reference engine's batching contract (wifi_csi/train.py:48,80-82):
+shuffle each epoch, fixed batch size, and SKIP the final batch of the epoch —
+so every training step sees a full, static-shape batch (exactly what XLA
+wants: one compiled step, no shape polymorphism).
+
+`device_batches` overlaps H2D transfer with compute by keeping one batch in
+flight (double buffering) and places batches with the mesh sharding so data
+parallelism shards the batch over the 'data' axis.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+
+def epoch_batches(n: int, batch_size: int, rng: np.random.Generator,
+                  skip_last: bool = True) -> np.ndarray:
+    """Shuffled index matrix (num_batches, batch_size) for one epoch.
+
+    With skip_last (the reference's behavior), num_batches =
+    ceil(n / batch_size) - 1 and every batch is full.
+    """
+    perm = rng.permutation(n)
+    if skip_last:
+        nb = max(math.ceil(n / batch_size) - 1, 0)
+    else:
+        nb = n // batch_size
+    return perm[:nb * batch_size].reshape(nb, batch_size)
+
+
+def device_batches(x: np.ndarray, y: np.ndarray, index_matrix: np.ndarray,
+                   sharding=None, prefetch: int = 2
+                   ) -> Iterator[Tuple[jax.Array, jax.Array]]:
+    """Yield device-resident (x_batch, y_batch) with simple prefetching."""
+    def put(idx):
+        bx, by = x[idx], y[idx]
+        if sharding is not None:
+            return (jax.device_put(bx, sharding), jax.device_put(by, sharding))
+        return jax.device_put((bx, by))
+
+    queue = []
+    for i in range(index_matrix.shape[0]):
+        queue.append(put(index_matrix[i]))
+        if len(queue) > prefetch:
+            yield queue.pop(0)
+    while queue:
+        yield queue.pop(0)
+
+
+def chunked(n: int, chunk: int) -> Sequence[Tuple[int, int]]:
+    """[(start, size)] covering range(n) in fixed chunks (last may be short)."""
+    return [(s, min(chunk, n - s)) for s in range(0, n, chunk)]
+
+
+def pad_to(arr: np.ndarray, size: int) -> np.ndarray:
+    """Zero-pad axis 0 to `size` (for static-shape eval chunks)."""
+    if arr.shape[0] == size:
+        return arr
+    pad = np.zeros((size - arr.shape[0], *arr.shape[1:]), dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)

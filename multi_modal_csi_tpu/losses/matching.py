@@ -1,0 +1,174 @@
+"""Set-matching losses, vectorized on-device.
+
+The reference's Hungarian matching is a per-sample Python loop calling scipy's
+linear_sum_assignment with a GPU->CPU sync every batch (model/detr.py:512-585)
+and its permutation matching is an O(B * 5!) Python loop
+(model/that_multi_head.py:309-342). On TPU both become one gather + reduction
+over the precomputed permutation table: for Q queries (Q=5 -> 120 perms)
+enumerating all permutations IS the exact Hungarian optimum, evaluated as a
+single (B, Q!, Q) gather and argmin — no host callback, fully differentiable
+through the selected assignment (selection under stop_gradient, like the
+reference's no_grad matching).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .basic import cross_entropy
+
+_MAX_ENUM_QUERIES = 8  # 8! = 40320 rows — still a trivial gather on TPU
+
+
+def _permutation_table(q: int) -> jnp.ndarray:
+    """(Q!, Q) int32 table of all permutations, lexicographic order."""
+    if q > _MAX_ENUM_QUERIES:
+        raise NotImplementedError(
+            f"exact enumeration supports up to {_MAX_ENUM_QUERIES} queries; "
+            f"got {q} (plug in an auction solver for larger Q)")
+    return jnp.asarray(np.array(list(itertools.permutations(range(q))),
+                                dtype=np.int32))
+
+
+def hungarian_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact minimal-cost assignment for a batch of square cost matrices.
+
+    cost: (B, Q, Q) — rows are predictions/queries, columns are targets.
+    Returns col_ind: (B, Q) where row q is assigned to column col_ind[b, q],
+    minimizing sum_q cost[b, q, col_ind[b, q]] (scipy linear_sum_assignment
+    semantics; ties may resolve to a different — equally optimal — matching).
+    """
+    q = cost.shape[-1]
+    perms = _permutation_table(q)                        # (P, Q)
+    # total[b, p] = sum_q cost[b, q, perms[p, q]]
+    gathered = jnp.take_along_axis(
+        cost[:, None, :, :].repeat(perms.shape[0], axis=1),
+        perms[None, :, :, None], axis=-1)[..., 0]        # (B, P, Q)
+    total = gathered.sum(axis=-1)                        # (B, P)
+    best = jnp.argmin(total, axis=-1)                    # (B,)
+    return perms[best]                                   # (B, Q)
+
+
+def class_imbalance_weights(num_classes: int, last_class_weight: float) -> jnp.ndarray:
+    """DETR CE weights: down-weight "no-person", renormalize to mean 1
+    (model/detr.py:503-506)."""
+    w = np.ones(num_classes, dtype=np.float32)
+    w[-1] = last_class_weight
+    w = w * (len(w) / w.sum())
+    return jnp.asarray(w)
+
+
+def _matched_ce(pred: jnp.ndarray, tgt_classes: jnp.ndarray,
+                col_ind: jnp.ndarray, weight: Optional[jnp.ndarray],
+                label_smoothing: float) -> jnp.ndarray:
+    """Per-sample weighted CE of matched (query -> target) pairs, averaged
+    torch-style within each sample, then mean over batch
+    (model/detr.py:587-595 `_get_layer_loss`)."""
+    matched = jnp.take_along_axis(tgt_classes, col_ind, axis=1)   # (B, Q)
+    per = cross_entropy(pred, matched, weight=weight,
+                        label_smoothing=label_smoothing, reduction="none")
+    if weight is not None:
+        wy = weight[matched]
+        per_sample = per.sum(axis=1) / wy.sum(axis=1)
+    else:
+        per_sample = per.mean(axis=1)
+    return per_sample.mean()
+
+
+@partial(jax.jit, static_argnames=("cost_class_weight", "aux_loss_weight",
+                                   "label_smoothing"))
+def _hungarian_loss_impl(outputs, targets, weight, cost_class_weight,
+                         aux_loss_weight, label_smoothing):
+    squeeze = outputs.ndim == 3
+    if squeeze:
+        outputs = outputs[None]
+    final = outputs[-1]                                   # (B, Q, C)
+    tgt_classes = jnp.argmax(targets, axis=-1)            # (B, Q)
+    prob = jax.nn.softmax(final.astype(jnp.float32), axis=-1)
+    # cost[b, q, j] = -prob[b, q, class_of_target_j]
+    cost = -jnp.take_along_axis(prob, tgt_classes[:, None, :].repeat(
+        prob.shape[1], axis=1), axis=-1)
+    cost = cost * cost_class_weight
+    col_ind = jax.lax.stop_gradient(hungarian_assignment(cost))
+
+    final_loss = _matched_ce(final, tgt_classes, col_ind, weight, label_smoothing)
+    if squeeze or outputs.shape[0] == 1:
+        return final_loss
+    aux = outputs[:-1]
+    aux_losses = jax.vmap(
+        lambda layer: _matched_ce(layer, tgt_classes, col_ind, weight,
+                                  label_smoothing))(aux)
+    return final_loss + aux_loss_weight * aux_losses.mean()
+
+
+class HungarianMatchingLoss:
+    """DETR-style set loss (model/detr.py:497-631).
+
+    outputs: [L, B, Q, C] per-decoder-layer logits (or [B, Q, C]);
+    targets:  [B, Q, C] one-hot rows (class C-1 = "no-person").
+    Matching uses ONLY the final layer; the same indices weight every
+    auxiliary layer (detr.py:611-621). CE uses class-imbalance weights +
+    label smoothing, with torch's weighted-mean normalization.
+    """
+
+    def __init__(self, cost_class_weight: float = 1.0,
+                 aux_loss_weight: float = 0.25,
+                 label_smoothing: float = 0.3,
+                 class_imbalance_weight: float = 0.25,
+                 num_classes: int = 10):
+        self.cost_class_weight = float(cost_class_weight)
+        self.aux_loss_weight = float(aux_loss_weight)
+        self.label_smoothing = float(label_smoothing)
+        self.weight = class_imbalance_weights(num_classes, class_imbalance_weight)
+
+    def __call__(self, outputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+        return _hungarian_loss_impl(outputs, targets, self.weight,
+                                    self.cost_class_weight,
+                                    self.aux_loss_weight,
+                                    self.label_smoothing)
+
+
+@jax.jit
+def permutation_matching_loss(predictions: jnp.ndarray,
+                              targets: jnp.ndarray) -> jnp.ndarray:
+    """THAT_MULTI_HEAD loss (model/that_multi_head.py:309-342), vectorized.
+
+    predictions: (B, H, C) head logits; targets: (B, H, C) one-hots.
+    Chooses the head permutation minimizing mean CE per sample, then returns
+    the mean CE of the best-permuted predictions over the whole batch —
+    identical to the reference's two-phase select-then-recompute, because the
+    recomputed loss equals the selected minimum.
+    """
+    b, h, c = predictions.shape
+    log_p = jax.nn.log_softmax(predictions.astype(jnp.float32), axis=-1)
+    tgt = jnp.argmax(targets, axis=-1)                    # (B, H)
+    # nll[b, i, j] = CE(pred head i, target j)
+    nll = -jnp.take_along_axis(
+        log_p[:, :, None, :].repeat(h, axis=2),
+        tgt[:, None, :, None].repeat(h, axis=1), axis=-1)[..., 0]  # (B, H, H)
+    perms = _permutation_table(h)                         # (P, H)
+    # cost[b, p] = mean_j nll[b, perms[p, j], j]
+    pn = jnp.take_along_axis(
+        nll[:, None, :, :].repeat(perms.shape[0], axis=1),
+        perms[None, :, :, None], axis=2)                  # (B, P, H, H)
+    diag = jnp.diagonal(pn, axis1=-2, axis2=-1)           # (B, P, H)
+    cost = diag.mean(axis=-1)                             # (B, P)
+    best = jax.lax.stop_gradient(jnp.argmin(cost, axis=-1))
+    best_nll = jnp.take_along_axis(diag, best[:, None, None].repeat(h, axis=2),
+                                   axis=1)[:, 0, :]       # (B, H)
+    return best_nll.mean()
+
+
+def count_based_loss(predictions: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """THAT_COUNT_CONSTRAINED loss: SmoothL1 between summed per-person
+    softmax probabilities and pre-summed count targets
+    (model/that_count_pred_withSoftMaxConstraint.py:313-337)."""
+    from .basic import smooth_l1
+    return smooth_l1(predictions, targets)

@@ -1,0 +1,276 @@
+"""Core flax modules with reference-matching semantics.
+
+Everything works in channels-LAST layout — (batch, length, features) — which is
+the layout XLA tiles best on TPU; the reference's channel-first permutes
+(e.g. model/cnn_1d.py forward) disappear entirely.
+
+Initialization mirrors the reference (see nn/init.py): explicit
+xavier_uniform where the torch code calls it, torch layer defaults elsewhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .init import torch_bias, torch_linear_weight, uniform_scale, xavier_uniform
+
+
+class Linear(nn.Module):
+    """Dense layer with torch-style init (optionally xavier weight).
+
+    Equivalent of torch.nn.Linear; the reference xavier-initializes weights in
+    most models (model/mlp.py:45-47) but keeps the torch-default bias.
+    """
+    features: int
+    use_bias: bool = True
+    xavier: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        w_init = xavier_uniform() if self.xavier else torch_linear_weight()
+        kernel = self.param("kernel", w_init, (in_features, self.features))
+        y = jnp.dot(x.astype(self.dtype or x.dtype),
+                    kernel.astype(self.dtype or kernel.dtype),
+                    preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", torch_bias(in_features), (self.features,))
+            y = y + bias
+        return y.astype(x.dtype)
+
+
+class Conv1d(nn.Module):
+    """1-D convolution on (B, L, C) with torch Conv1d semantics.
+
+    `padding` accepts an int (symmetric), "SAME", or "VALID" (torch default).
+    """
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: object = "VALID"
+    dilation: int = 1
+    feature_group_count: int = 1
+    use_bias: bool = True
+    xavier: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        fan_in = (in_features // self.feature_group_count) * self.kernel_size
+        w_init = xavier_uniform() if self.xavier else torch_linear_weight()
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)]
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=pad,
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.feature_group_count,
+            use_bias=self.use_bias,
+            kernel_init=w_init,
+            bias_init=torch_bias(fan_in),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return y
+
+
+class Conv2d(nn.Module):
+    """2-D convolution on (B, H, W, C) with torch Conv2d semantics."""
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: object = "VALID"
+    use_bias: bool = True
+    xavier: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        fan_in = in_features * self.kernel_size[0] * self.kernel_size[1]
+        w_init = xavier_uniform() if self.xavier else torch_linear_weight()
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.stride,
+            padding=self.padding,
+            use_bias=self.use_bias,
+            kernel_init=w_init,
+            bias_init=torch_bias(fan_in),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over the trailing feature axis of (B, ..., C).
+
+    torch BatchNorm1d/2d semantics: eps 1e-5, running-stat momentum 0.1
+    (flax momentum = 0.9), affine. Under jit with a batch-sharded mesh the
+    batch statistics are computed over the GLOBAL batch automatically (GSPMD),
+    which preserves single-device numerics under data parallelism
+    (SURVEY.md §7 hard part #5).
+    """
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param("use_running_average",
+                             self.use_running_average, use_running_average)
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            name="bn",
+        )(x)
+
+
+def avg_pool1d(x, kernel: int, stride: Optional[int] = None):
+    """torch AvgPool1d on (B, L, C): VALID padding, floor division length."""
+    stride = stride or kernel
+    return nn.avg_pool(x, window_shape=(kernel,), strides=(stride,), padding="VALID")
+
+
+def max_pool1d(x, kernel: int, stride: Optional[int] = None):
+    stride = stride or kernel
+    return nn.max_pool(x, window_shape=(kernel,), strides=(stride,), padding="VALID")
+
+
+def adaptive_avg_pool1d(x, output_size: int):
+    """torch AdaptiveAvgPool1d on (B, L, C).
+
+    torch computes window i as mean over [floor(i*L/out), ceil((i+1)*L/out)).
+    For the cases the reference uses (L divisible or near-divisible) this
+    matches; implemented via segment means with the exact torch bounds.
+    """
+    b, length, c = x.shape
+    starts = [math.floor(i * length / output_size) for i in range(output_size)]
+    ends = [math.ceil((i + 1) * length / output_size) for i in range(output_size)]
+    segs = [x[:, s:e].mean(axis=1) for s, e in zip(starts, ends)]
+    return jnp.stack(segs, axis=1)
+
+
+class MultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention equivalent (batch_first, same embed dim).
+
+    Packed QKV projection with xavier-uniform init and zero biases, torch
+    default init on the output projection weight with zero bias — matching
+    torch's ``_reset_parameters``. ``output_scale`` implements the reference's
+    TemperatureMultiheadAttention, which divides the attention OUTPUT (not the
+    logits) by the temperature (model/detr.py:445-464).
+    """
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    output_scale: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, query, key, value, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):
+        e, h = self.embed_dim, self.num_heads
+        assert e % h == 0, "embed_dim must divide num_heads"
+        d = e // h
+        in_proj_w = self.param("in_proj_weight", xavier_uniform(), (e, 3 * e))
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        q = jnp.dot(query, in_proj_w[:, :e], preferred_element_type=jnp.float32) + in_proj_b[:e]
+        k = jnp.dot(key, in_proj_w[:, e:2 * e], preferred_element_type=jnp.float32) + in_proj_b[e:2 * e]
+        v = jnp.dot(value, in_proj_w[:, 2 * e:], preferred_element_type=jnp.float32) + in_proj_b[2 * e:]
+
+        def split(t):  # (B, L, E) -> (B, H, L, D)
+            return t.reshape(*t.shape[:-1], h, d).swapaxes(-3, -2)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / math.sqrt(d)
+        if mask is not None:
+            logits = jnp.where(mask, logits, -jnp.inf)
+        weights = jax.nn.softmax(logits, axis=-1)
+        if self.dropout > 0.0:
+            weights = nn.Dropout(self.dropout, deterministic=deterministic,
+                                 name="attn_drop")(weights)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.swapaxes(-3, -2).reshape(*query.shape[:-1], e)
+        out_w = self.param("out_proj_weight", torch_linear_weight(), (e, e))
+        out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,))
+        out = jnp.dot(ctx, out_w, preferred_element_type=jnp.float32) + out_b
+        if self.output_scale != 1.0:
+            out = out * (1.0 / self.output_scale)
+        return out.astype(query.dtype)
+
+
+class LSTM(nn.Module):
+    """torch.nn.LSTM equivalent (single layer, batch_first, optional bidir).
+
+    Implemented as lax.scan over time with fused gate matmuls — the
+    TPU-friendly formulation (one (B, F)x(F, 4H) and one (B, H)x(H, 4H) MXU
+    matmul per step). Gate order i, f, g, o; both input and hidden biases kept
+    (they fold together but keep the torch parameter count for converters).
+    All params init uniform(+-1/sqrt(hidden)) per torch defaults.
+    """
+    hidden_size: int
+    bidirectional: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.hidden_size
+        bound_init = uniform_scale(1.0 / math.sqrt(h))
+        in_features = x.shape[-1]
+
+        def direction(name: str, xs):
+            w_ih = self.param(f"w_ih_{name}", bound_init, (in_features, 4 * h))
+            w_hh = self.param(f"w_hh_{name}", bound_init, (h, 4 * h))
+            b_ih = self.param(f"b_ih_{name}", bound_init, (4 * h,))
+            b_hh = self.param(f"b_hh_{name}", bound_init, (4 * h,))
+
+            def step(carry, x_t):
+                h_t, c_t = carry
+                gates = (jnp.dot(x_t, w_ih, preferred_element_type=jnp.float32)
+                         + jnp.dot(h_t, w_hh, preferred_element_type=jnp.float32)
+                         + b_ih + b_hh)
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+                g = jnp.tanh(g)
+                c_new = f * c_t + i * g
+                h_new = o * jnp.tanh(c_new)
+                return (h_new, c_new), h_new
+
+            b = xs.shape[0]
+            init = (jnp.zeros((b, h), xs.dtype), jnp.zeros((b, h), xs.dtype))
+            # scan over time: (B, L, F) -> (L, B, F)
+            _, ys = jax.lax.scan(step, init, xs.swapaxes(0, 1))
+            return ys.swapaxes(0, 1)
+
+        fwd = direction("fwd", x)
+        if not self.bidirectional:
+            return fwd
+        bwd = direction("bwd", x[:, ::-1])[:, ::-1]
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class LayerNorm(nn.Module):
+    """torch LayerNorm over the trailing axis."""
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, name="ln")(x)
+
+
+def leaky_relu(x):
+    """torch default negative_slope=0.01."""
+    return nn.leaky_relu(x, negative_slope=0.01)

@@ -1,0 +1,57 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.5); this
+module IS the TPU-native execution model it lacks: a named mesh over ICI with
+  - 'data'  : batch (data-parallel) axis — gradients all-reduce implicitly
+              under jit (GSPMD inserts the psum);
+  - 'model' : tensor-parallel axis for attention heads / FFN shards.
+
+Everything trains through plain jax.jit: arrays carry NamedShardings, XLA
+inserts the collectives, and the same code runs on 1 chip or a full slice.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(axis_sizes: Optional[Dict[str, int]] = None,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a Mesh with named axes ('data', 'model').
+
+    axis_sizes: e.g. {"data": 4, "model": 2}. Defaults to all devices on
+    'data'. Sizes must multiply to the device count.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if axis_sizes is None:
+        axis_sizes = {DATA_AXIS: n, MODEL_AXIS: 1}
+    names = tuple(axis_sizes.keys())
+    sizes = tuple(axis_sizes.values())
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh {axis_sizes} does not cover {n} devices")
+    mesh_devices = np.array(devices).reshape(sizes)
+    return Mesh(mesh_devices, names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard axis 0 (batch) over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with batch-axis sharding on the mesh."""
+    out = tuple(jax.device_put(a, batch_sharding(mesh, np.ndim(a)))
+                for a in arrays)
+    return out if len(out) > 1 else out[0]

@@ -1,0 +1,90 @@
+"""Rule-based parameter partitioning for tensor parallelism.
+
+Maps parameter tree paths to PartitionSpecs by regex rules, the standard
+pjit recipe: annotate shardings, let GSPMD insert collectives. The default
+rules shard the transformer fat matmuls over the 'model' axis:
+  - attention packed-QKV projection: output dim (heads) sharded;
+  - attention output projection: input dim sharded (row-parallel, psum on
+    the output is inserted by XLA);
+  - FFN up-projection: output dim sharded; FFN down-projection: input dim.
+
+These have no reference counterpart (the reference is single-device); they are
+the capability extension called out in SURVEY.md §2.5 item 3.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+# (path regex, spec) — first match wins; default replicated.
+DEFAULT_TP_RULES: List[Tuple[str, P]] = [
+    (r".*in_proj_weight$", P(None, MODEL_AXIS)),
+    (r".*out_proj_weight$", P(MODEL_AXIS, None)),
+    (r".*ffn_up.*kernel$", P(None, MODEL_AXIS)),
+    (r".*ffn_down.*kernel$", P(MODEL_AXIS, None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_path(path: str, shape: Tuple[int, ...],
+                  rules: Sequence[Tuple[str, P]], mesh: Mesh) -> P:
+    """First matching rule whose sharded dims divide the param shape."""
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            ok = True
+            for dim, axis in enumerate(spec):
+                if axis is None:
+                    continue
+                size = mesh.shape[axis]
+                if dim >= len(shape) or shape[dim] % size != 0:
+                    ok = False
+                    break
+            if ok:
+                return spec
+    return P()
+
+
+def partition_specs(params: Any, mesh: Mesh,
+                    rules: Optional[Sequence[Tuple[str, P]]] = None) -> Any:
+    """PartitionSpec pytree matching `params` (DEFAULT_TP_RULES if None)."""
+    rules = DEFAULT_TP_RULES if rules is None else rules
+
+    def assign(path, leaf):
+        return spec_for_path(_path_str(path), getattr(leaf, "shape", ()),
+                             rules, mesh)
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 rules: Optional[Sequence[Tuple[str, P]]] = None) -> Any:
+    """Place a param tree on the mesh according to the rules."""
+    specs = partition_specs(params, mesh, rules)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params, specs)
+
+
+def sharding_tree(params: Any, mesh: Mesh,
+                  rules: Optional[Sequence[Tuple[str, P]]] = None) -> Any:
+    """NamedSharding pytree (for jit in_shardings)."""
+    specs = partition_specs(params, mesh, rules)
+    return jax.tree_util.tree_map(lambda spec: NamedSharding(mesh, spec), specs,
+                                  is_leaf=lambda x: isinstance(x, P))

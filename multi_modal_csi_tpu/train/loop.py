@@ -1,0 +1,246 @@
+"""The training engine: one compiled step, scan-free host epoch loop,
+full-dataset compiled evaluation, best-weight selection and early stopping.
+
+Reproduces the reference engine's observable behavior (wifi_csi/train.py:36-176):
+  - shuffle each epoch, skip the final batch (every step is a full batch);
+  - in-graph augmentation on training batches only;
+  - cosine-warmup schedule stepped per-step (multi_head runners only);
+  - per-epoch metrics on the LAST TRAINED batch (train side) and the FULL
+    validation set (test side);
+  - best weights kept only when BOTH f1 and perfect-prediction-% strictly
+    improve; patience-based early stop (default 150).
+
+TPU-first details: the step is a single jitted function with donated state
+(params/opt-state update in place in HBM), batches stream H2D with double
+buffering, and evaluation runs in fixed-size chunks so one compiled forward
+serves any dataset size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.pipeline import chunked, device_batches, epoch_batches, pad_to
+from ..metrics.performance import performance_metrics
+from ..utils.logging import MetricWriter
+from .augment import apply_augmentation
+from .schedules import cosine_warmup
+
+
+@dataclasses.dataclass
+class FitResult:
+    best_params: Any
+    best_batch_stats: Any
+    best_epoch: int
+    epochs_ran: int
+    history: List[Dict[str, float]]
+
+
+def adam_like_torch(lr_schedule, weight_decay: float = 0.0,
+                    mask: Any = None) -> optax.GradientTransformation:
+    """torch.optim.Adam semantics: coupled L2 (grad += wd * param) before the
+    Adam moment update, betas (0.9, 0.999), eps 1e-8."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay, mask=mask))
+    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    parts.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*parts)
+
+
+def _init_variables(model, rng, example_x):
+    variables = model.init({"params": rng, "dropout": rng}, example_x, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return params, batch_stats
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    loss_fn: Callable, augment: bool = True):
+    """Single compiled train step with donated state."""
+
+    def step(params, batch_stats, opt_state, bx, by, rng):
+        aug_rng, drop_rng = jax.random.split(rng)
+        if augment:
+            bx = apply_augmentation(aug_rng, bx)
+
+        def loss_wrap(p):
+            out, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats}, bx, train=True,
+                rngs={"dropout": drop_rng}, mutable=["batch_stats"])
+            return loss_fn(out, by), (out, mutated)
+
+        (loss, (out, mutated)), grads = jax.value_and_grad(
+            loss_wrap, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, mutated.get("batch_stats", {}), opt_state, loss, out
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_eval_fn(model):
+    @jax.jit
+    def forward(params, batch_stats, x):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=False)
+    return forward
+
+
+def eval_dataset(forward, params, batch_stats, x: np.ndarray,
+                 chunk: int = 512, batch_axis: int = 0) -> np.ndarray:
+    """Chunked full-dataset forward with static shapes.
+
+    `batch_axis` is where the batch lives in the OUTPUT (1 for DETR-style
+    [L, B, Q, C] stacks, 0 otherwise).
+    """
+    n = x.shape[0]
+    chunk = min(chunk, max(1, n))
+    outs = []
+    for start, size in chunked(n, chunk):
+        bx = pad_to(x[start:start + size], chunk)
+        out = np.asarray(forward(params, batch_stats, bx))
+        outs.append(np.take(out, np.arange(size), axis=batch_axis))
+    return np.concatenate(outs, axis=batch_axis)
+
+
+def fit(model,
+        x_train: np.ndarray, y_train: np.ndarray,
+        x_valid: np.ndarray, y_valid: np.ndarray,
+        *,
+        loss_fn: Callable,
+        mode: str,
+        lr: float,
+        epochs: int,
+        batch_size: int,
+        seed: int,
+        weight_decay: float = 0.0,
+        threshold: float = 0.5,
+        patience: int = 150,
+        use_cosine_schedule: Optional[bool] = None,
+        warmup_epochs: int = 10,
+        min_lr_ratio: float = 0.05,
+        batch_axis: int = 0,
+        augment: bool = True,
+        sharding=None,
+        writer: Optional[MetricWriter] = None,
+        init_variables: Optional[Tuple[Any, Any]] = None,
+        tx: Optional[optax.GradientTransformation] = None,
+        eval_chunk: int = 512) -> FitResult:
+    """Train `model` and return the best weights by the reference's rule.
+
+    `mode` feeds performance_metrics (baseline | multi_head |
+    count_classification | count_classification_withConstrain). Target
+    transforms (count summing, flattening) are the caller's responsibility —
+    they are dataset-level, not step-level.
+    """
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.default_rng(seed)
+
+    n = x_train.shape[0]
+    steps_per_epoch = max(int(np.ceil(n / batch_size)) - 1, 1)
+    if use_cosine_schedule is None:
+        use_cosine_schedule = (mode == "multi_head")
+    if use_cosine_schedule:
+        schedule = cosine_warmup(lr, warmup_epochs * steps_per_epoch,
+                                 epochs * steps_per_epoch, min_lr_ratio)
+    else:
+        schedule = lr
+
+    if tx is None:
+        tx = adam_like_torch(schedule, weight_decay)
+
+    if init_variables is None:
+        init_rng, rng = jax.random.split(rng)
+        params, batch_stats = _init_variables(model, init_rng,
+                                              x_train[:min(2, n)])
+    else:
+        params, batch_stats = init_variables
+    opt_state = tx.init(params)
+
+    step_fn = make_train_step(model, tx, loss_fn, augment=augment)
+    forward = make_eval_fn(model)
+
+    best_f1 = 0.0
+    best_ppp = 0.0
+    best_params = jax.device_get(params)
+    best_stats = jax.device_get(batch_stats)
+    best_epoch = -1
+    counter = 0
+    history: List[Dict[str, float]] = []
+
+    y_valid_np = np.asarray(y_valid)
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        idx = epoch_batches(n, batch_size, np_rng, skip_last=True)
+        last_by = None
+        last_out = None
+        loss_train = jnp.zeros(())
+        for bx, by in device_batches(x_train, y_train, idx, sharding=sharding):
+            rng, step_rng = jax.random.split(rng)
+            params, batch_stats, opt_state, loss_train, out = step_fn(
+                params, batch_stats, opt_state, bx, by, step_rng)
+            last_by, last_out = by, out
+
+        # train-side metrics on the last trained batch (train.py:105-108,
+        # including the reference's astype(int) truncation of the logits)
+        train_metrics = performance_metrics(
+            np.asarray(last_by).astype(int),
+            np.asarray(last_out).astype(int),
+            var_mode=mode, var_threshold=threshold)
+
+        # full-validation-set evaluation
+        logits_valid = eval_dataset(forward, params, batch_stats, x_valid,
+                                    chunk=eval_chunk, batch_axis=batch_axis)
+        loss_valid = float(loss_fn(jnp.asarray(logits_valid),
+                                   jnp.asarray(y_valid_np)))
+        valid_metrics = performance_metrics(
+            y_valid_np, logits_valid, var_mode=mode, var_threshold=threshold)
+
+        record = {
+            "epoch": epoch,
+            "epoch_time": time.time() - t0,
+            "train_loss": float(loss_train),
+            "test_loss": loss_valid,
+            "total_error_test": valid_metrics["total_error"],
+            "perfect_prediction_percentage_test":
+                valid_metrics["perfect_prediction_percentage"],
+            "perfect_prediction_percentage_train":
+                train_metrics["perfect_prediction_percentage"],
+            "accuracy_test": valid_metrics["accuracy"],
+            "precision": valid_metrics["precision"],
+            "recall": valid_metrics["recall"],
+            "f1_score": valid_metrics["f1_score"],
+        }
+        history.append(record)
+        if writer:
+            writer.log(record, step=epoch)
+
+        # best-weight rule: BOTH f1 and PPP must strictly improve
+        # (train.py:159-166)
+        if (valid_metrics["f1_score"] > best_f1
+                and valid_metrics["perfect_prediction_percentage"] > best_ppp):
+            best_f1 = valid_metrics["f1_score"]
+            best_ppp = valid_metrics["perfect_prediction_percentage"]
+            best_params = jax.device_get(params)
+            best_stats = jax.device_get(batch_stats)
+            best_epoch = epoch
+            counter = 0
+        else:
+            counter += 1
+        if counter >= patience:
+            break
+
+    if best_epoch < 0:  # never improved: return final weights (SSL engine
+        best_params = jax.device_get(params)   # behavior, train_ssl.py:88-91)
+        best_stats = jax.device_get(batch_stats)
+    return FitResult(best_params, best_stats, best_epoch,
+                     len(history), history)

@@ -1,0 +1,85 @@
+"""End-to-end training-engine tests on tiny synthetic data (CPU, 8 virtual
+devices via conftest)."""
+
+import numpy as np
+import pytest
+
+from multi_modal_csi_tpu.data.pipeline import epoch_batches
+from multi_modal_csi_tpu.losses.basic import bce_with_logits
+from multi_modal_csi_tpu.models.csi.mlp import MLP
+from multi_modal_csi_tpu.train.loop import eval_dataset, fit, make_eval_fn
+from multi_modal_csi_tpu.train.schedules import cosine_warmup
+
+
+def _synthetic_baseline(n=96, f=20, users=2, classes=9, seed=0):
+    """Linearly separable multi-user activity data in baseline layout."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(f, users * classes))
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    logits = x @ w
+    y = np.zeros((n, users, classes), np.int64)
+    for i in range(n):
+        for u in range(users):
+            y[i, u, logits[i, u * classes:(u + 1) * classes].argmax()] = 1
+    return x, y.reshape(n, -1)
+
+
+def test_epoch_batches_skips_last():
+    rng = np.random.default_rng(0)
+    idx = epoch_batches(50, 16, rng, skip_last=True)
+    # ceil(50/16)=4 batches -> 3 trained, all full
+    assert idx.shape == (3, 16)
+    idx2 = epoch_batches(48, 16, rng, skip_last=True)
+    assert idx2.shape == (2, 16)  # divisible: the full last batch is skipped too
+
+
+def test_cosine_warmup_schedule_values():
+    sched = cosine_warmup(1.0, num_warmup_steps=10, num_training_steps=100,
+                          min_lr_ratio=0.05)
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(0.5)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(55)) == pytest.approx(0.5, abs=1e-2)
+    assert float(sched(100)) == pytest.approx(0.05)  # floored
+
+
+def test_fit_mlp_baseline_learns():
+    x, y = _synthetic_baseline()
+    model = MLP(out_features=y.shape[-1])
+    res = fit(model, x, y, x, y,
+              loss_fn=lambda o, t: bce_with_logits(o, t, pos_weight=4.0),
+              mode="baseline", lr=5e-3, epochs=30, batch_size=16,
+              seed=39, weight_decay=1e-3, patience=150, augment=False)
+    assert res.epochs_ran == 30
+    final = res.history[-1]
+    first = res.history[0]
+    assert final["f1_score"] > first["f1_score"]
+    assert final["perfect_prediction_percentage_test"] > 50.0
+    # best weights reproduce the recorded best metrics
+    forward = make_eval_fn(model)
+    logits = eval_dataset(forward, res.best_params, res.best_batch_stats, x)
+    assert logits.shape == (x.shape[0], y.shape[-1])
+
+
+def test_fit_early_stopping():
+    x, y = _synthetic_baseline(n=48)
+    model = MLP(out_features=y.shape[-1])
+    res = fit(model, x, y, x, y,
+              loss_fn=lambda o, t: bce_with_logits(o, t, pos_weight=4.0),
+              mode="baseline", lr=0.0, epochs=50, batch_size=16,
+              seed=39, patience=3, augment=False)
+    # lr=0: no improvement ever -> stops after patience+1 epochs
+    assert res.epochs_ran <= 5
+
+
+def test_eval_dataset_chunking_matches_single_shot():
+    x, y = _synthetic_baseline(n=40)
+    model = MLP(out_features=y.shape[-1])
+    res = fit(model, x, y, x, y,
+              loss_fn=lambda o, t: bce_with_logits(o, t),
+              mode="baseline", lr=1e-3, epochs=2, batch_size=8,
+              seed=7, augment=False)
+    forward = make_eval_fn(model)
+    a = eval_dataset(forward, res.best_params, res.best_batch_stats, x, chunk=16)
+    b = eval_dataset(forward, res.best_params, res.best_batch_stats, x, chunk=40)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
