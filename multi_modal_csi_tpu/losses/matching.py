@@ -82,29 +82,45 @@ def _matched_ce(pred: jnp.ndarray, tgt_classes: jnp.ndarray,
     return per_sample.mean()
 
 
+def _match_indices(layer_logits, tgt_classes, cost_class_weight):
+    """Hungarian col indices for one layer's logits (no grad)."""
+    prob = jax.nn.softmax(layer_logits.astype(jnp.float32), axis=-1)
+    # cost[b, q, j] = -prob[b, q, class_of_target_j]
+    cost = -jnp.take_along_axis(prob, tgt_classes[:, None, :].repeat(
+        prob.shape[1], axis=1), axis=-1)
+    cost = cost * cost_class_weight
+    return jax.lax.stop_gradient(hungarian_assignment(cost))
+
+
 @partial(jax.jit, static_argnames=("cost_class_weight", "aux_loss_weight",
-                                   "label_smoothing"))
+                                   "label_smoothing", "per_layer_matching"))
 def _hungarian_loss_impl(outputs, targets, weight, cost_class_weight,
-                         aux_loss_weight, label_smoothing):
+                         aux_loss_weight, label_smoothing,
+                         per_layer_matching=False):
     squeeze = outputs.ndim == 3
     if squeeze:
         outputs = outputs[None]
     final = outputs[-1]                                   # (B, Q, C)
     tgt_classes = jnp.argmax(targets, axis=-1)            # (B, Q)
-    prob = jax.nn.softmax(final.astype(jnp.float32), axis=-1)
-    # cost[b, q, j] = -prob[b, q, class_of_target_j]
-    cost = -jnp.take_along_axis(prob, tgt_classes[:, None, :].repeat(
-        prob.shape[1], axis=1), axis=-1)
-    cost = cost * cost_class_weight
-    col_ind = jax.lax.stop_gradient(hungarian_assignment(cost))
+    col_ind = _match_indices(final, tgt_classes, cost_class_weight)
 
     final_loss = _matched_ce(final, tgt_classes, col_ind, weight, label_smoothing)
     if squeeze or outputs.shape[0] == 1:
         return final_loss
     aux = outputs[:-1]
-    aux_losses = jax.vmap(
-        lambda layer: _matched_ce(layer, tgt_classes, col_ind, weight,
-                                  label_smoothing))(aux)
+    if per_layer_matching:
+        # THAT_ENCODER variant: each aux layer matched independently
+        # (that_encoder.py:595-601)
+        def aux_loss_fn(layer):
+            idx = _match_indices(layer, tgt_classes, cost_class_weight)
+            return _matched_ce(layer, tgt_classes, idx, weight, label_smoothing)
+    else:
+        # DETR variant: the final layer's indices weight every aux layer
+        # (detr.py:611-621)
+        def aux_loss_fn(layer):
+            return _matched_ce(layer, tgt_classes, col_ind, weight,
+                               label_smoothing)
+    aux_losses = jax.vmap(aux_loss_fn)(aux)
     return final_loss + aux_loss_weight * aux_losses.mean()
 
 
@@ -122,17 +138,20 @@ class HungarianMatchingLoss:
                  aux_loss_weight: float = 0.25,
                  label_smoothing: float = 0.3,
                  class_imbalance_weight: float = 0.25,
-                 num_classes: int = 10):
+                 num_classes: int = 10,
+                 per_layer_matching: bool = False):
         self.cost_class_weight = float(cost_class_weight)
         self.aux_loss_weight = float(aux_loss_weight)
         self.label_smoothing = float(label_smoothing)
+        self.per_layer_matching = bool(per_layer_matching)
         self.weight = class_imbalance_weights(num_classes, class_imbalance_weight)
 
     def __call__(self, outputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
         return _hungarian_loss_impl(outputs, targets, self.weight,
                                     self.cost_class_weight,
                                     self.aux_loss_weight,
-                                    self.label_smoothing)
+                                    self.label_smoothing,
+                                    self.per_layer_matching)
 
 
 @jax.jit

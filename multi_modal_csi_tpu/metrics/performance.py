@@ -107,7 +107,12 @@ def performance_metrics(y_true: np.ndarray, y_pred: np.ndarray,
     if var_mode == "count_classification_withConstrain":
         batch_size = y_pred.shape[0]
     elif var_mode == "multi_head":
-        y_pred = y_pred[-1]
+        # [L, B, Q, C] per-layer stacks use the final layer; (B, H, C) head
+        # outputs (THAT_MULTI_HEAD) are used directly — the reference's
+        # unconditional y_pred[-1] crashes on 3-D input (utils.py:221-222,
+        # reference drift like SURVEY.md §2.6)
+        if y_pred.ndim == 4:
+            y_pred = y_pred[-1]
         batch_size, _, num_classes = y_pred.shape
         idx = np.argmax(y_pred, axis=-1)
         y_pred = np.eye(num_classes)[idx].sum(axis=1)

@@ -1,0 +1,115 @@
+"""Hermetic runner tests: synthetic CSI windows + real annotation semantics,
+tiny configs, every runner family end-to-end."""
+
+import numpy as np
+import pytest
+
+from multi_modal_csi_tpu.core.config import Config
+from multi_modal_csi_tpu.data.encoders import reduce_dataset
+from multi_modal_csi_tpu.runners.csi import (CSI_MODELS,
+                                             apply_target_reduction,
+                                             run_csi_model, run_experiment)
+
+
+def _tiny_cfg(model, **nn_over):
+    cfg = Config().override({
+        "model": model, "repeat": 1,
+        "nn.epoch": 2, "nn.batch_size": 8, "nn.patience": 10,
+        "nn.token_length": 10, "nn.num_decoder_layers": 2,
+        "nn.dim_ffn": 32,
+    })
+    if nn_over:
+        cfg = cfg.override(nn_over)
+    return cfg
+
+
+def _synth(n=40, t=200, f=30, users=6, classes=9, seed=0, target="raw", cfg=None):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, t, f)).astype(np.float32)
+    y = np.zeros((n, users, classes), np.int64)
+    for i in range(n):
+        for u in rng.choice(users, size=rng.integers(0, 5), replace=False):
+            y[i, u, rng.integers(0, classes)] = 1
+    y = apply_target_reduction(y, target, cfg or Config())
+    split = int(n * 0.8)
+    return x[:split], x[split:], y[:split], y[split:]
+
+
+@pytest.mark.parametrize("model", ["MLP", "LSTM", "CNN-2D", "ABLSTM"])
+def test_baseline_runners(model):
+    cfg = _tiny_cfg(model)
+    data = _synth()
+    result = run_csi_model(cfg, data=data)
+    assert "repeat_0" in result
+    assert 0.0 <= result["accuracy"]["avg"] <= 1.0
+    assert "complexity" in result and result["complexity"]["parameter"] > 0
+
+
+def test_cnn1d_count_round_runner():
+    cfg = _tiny_cfg("CNN-1D")
+    result = run_csi_model(cfg, data=_synth())
+    assert "accuracy" in result
+    assert "final_metrics" in result
+
+
+def test_that_runner_with_valid_split():
+    cfg = _tiny_cfg("THAT")
+    result = run_csi_model(cfg, data=_synth(n=60))
+    assert "final_metrics" in result
+    assert "total_error" in result["final_metrics"]
+
+
+def test_that_multi_head_runner():
+    cfg = _tiny_cfg("THAT_MULTI_HEAD")
+    spec = CSI_MODELS["THAT_MULTI_HEAD"]
+    data = _synth(target=spec.target, cfg=cfg)
+    result = run_csi_model(cfg, data=data)
+    assert "final_metrics" in result
+
+
+def test_that_count_runners():
+    cfg = _tiny_cfg("THAT_COUNT")
+    result = run_csi_model(cfg, data=_synth(n=60))
+    assert "final_metrics" in result
+
+    cfg = _tiny_cfg("THAT_COUNT_CONSTRAINED")
+    spec = CSI_MODELS["THAT_COUNT_CONSTRAINED"]
+    result = run_csi_model(cfg, data=_synth(target=spec.target, cfg=cfg))
+    assert "final_metrics" in result
+
+
+def test_detr_runner():
+    cfg = _tiny_cfg("DETR")
+    spec = CSI_MODELS["DETR"]
+    data = _synth(n=60, t=300, target=spec.target, cfg=cfg)
+    result = run_csi_model(cfg, data=data)
+    assert "final_metrics" in result
+    assert result["complexity"]["parameter"] > 0
+
+
+def test_strf_runner():
+    cfg = _tiny_cfg("ST-RF")
+    result = run_csi_model(cfg, data=_synth(t=64))
+    assert 0.0 <= result["accuracy"]["avg"] <= 1.0
+
+
+def test_ssl_runner():
+    cfg = _tiny_cfg("SSL")
+    result = run_csi_model(cfg, data=_synth(n=40, t=1800))
+    assert "accuracy" in result
+
+
+def test_dual_band_runner():
+    cfg = _tiny_cfg("dual_band")
+    x_tr, x_te, y_tr, y_te = _synth(n=40, t=1800)
+    data = (np.stack([x_tr, x_tr], axis=1), np.stack([x_te, x_te], axis=1),
+            y_tr, y_te)
+    result = run_csi_model(cfg, data=data)
+    assert "accuracy" in result
+
+
+def test_run_experiment_writes_json(tmp_path):
+    cfg = _tiny_cfg("MLP").override({"path.save": str(tmp_path / "result.json")})
+    result = run_experiment(cfg, data=_synth(), save=True)
+    assert (tmp_path / "result.json").exists()
+    assert result["model"] == "MLP" and result["task"] == "activity"
