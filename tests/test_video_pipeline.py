@@ -1,0 +1,68 @@
+"""Video IO + runner tests with synthetic clips (no real .mp4 needed for the
+transform/cache/runner path; decode is exercised when cv2 can encode)."""
+
+import numpy as np
+import pytest
+
+from multi_modal_csi_tpu.core.config import Config
+from multi_modal_csi_tpu.data.video_io import (VIDEO_TRANSFORMS, ClipDataset,
+                                               apply_transform, load_clips)
+from multi_modal_csi_tpu.runners.video import run_video_model
+
+
+def test_apply_transform_resnet_shapes():
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(6, 90, 120, 3), dtype=np.uint8)
+    out = apply_transform(frames, VIDEO_TRANSFORMS["ResNet"])
+    assert out.shape == (6, 112, 112, 3)
+    assert out.dtype == np.float32
+    # normalized: not in [0, 1]
+    assert out.min() < 0
+
+
+def test_apply_transform_short_side():
+    frames = np.zeros((2, 100, 200, 3), dtype=np.uint8)
+    out = apply_transform(frames, VIDEO_TRANSFORMS["Swin-T"])
+    assert out.shape == (2, 224, 224, 3)
+
+
+def test_clip_cache_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    for label in ["a1", "a2"]:
+        np.save(tmp_path / f"{label}.npy",
+                rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+    clips = load_clips(str(tmp_path), ["a1", "a2"], frame_stride=2)
+    assert clips.shape == (2, 4, 16, 16, 3)
+    ds = ClipDataset(str(tmp_path), ["a1", "a2"], np.zeros((2, 6)), 2)
+    x, y = ds[0]
+    assert x.shape == (4, 16, 16, 3)
+    bx, by = ds.batch([0, 1])
+    assert bx.shape == (2, 4, 16, 16, 3) and by.shape == (2, 6)
+
+
+def test_video_runner_end_to_end():
+    rng = np.random.default_rng(0)
+    n = 16
+    x = rng.normal(size=(n, 4, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 2, size=(n, 6)).astype(np.int64)
+    cfg = Config().override({"model": "ResNet", "task": "identity",
+                             "repeat": 1, "nn.epoch": 1, "nn.batch_size": 4})
+    result = run_video_model(cfg, data=(x[:12], x[12:], y[:12], y[12:]))
+    assert "repeat_0" in result
+    assert 0.0 <= result["accuracy"]["avg"] <= 1.0
+    assert result["complexity"]["parameter"] > 30_000_000  # r3d_18 ~33M
+
+
+def test_video_decode_roundtrip(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "clip.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    if not wr.isOpened():
+        pytest.skip("cv2 mp4 encoder unavailable")
+    for i in range(10):
+        wr.write(np.full((48, 64, 3), i * 20, np.uint8))
+    wr.release()
+    from multi_modal_csi_tpu.data.video_io import decode_video
+    frames = decode_video(path)
+    assert frames.shape[0] == 10
+    assert frames.shape[1:] == (48, 64, 3)
