@@ -1,0 +1,53 @@
+"""CSI experiment CLI (the reference's run_main.py:70-84 surface).
+
+Usage:
+  python -m multi_modal_csi_tpu.cli.run_csi --model DETR --task activity \
+      --repeat 8 --users "0,1,2,3,4,5" [--set nn.lr=1e-4 --set data.wifi_band=5]
+
+Env-var overlays (LEARNING_RATE, BATCH_SIZE, ... — config_modifier.py's knob
+set) apply automatically; --set provides arbitrary dotted-path overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..core.config import load_config
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default=None)
+    p.add_argument("--task", default=None)
+    p.add_argument("--repeat", default=None, type=int)
+    p.add_argument("--users", default=None,
+                   help="comma-separated user counts, e.g. '0,1,2,3,4,5'")
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="KEY=VALUE", help="dotted-path override")
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    overrides = {}
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        overrides[key] = value
+    if args.model:
+        overrides["model"] = args.model
+    if args.task:
+        overrides["task"] = args.task
+    if args.repeat is not None:
+        overrides["repeat"] = args.repeat
+    if args.users:
+        overrides["data.num_users"] = [u.strip() for u in args.users.split(",")]
+    cfg = load_config(args.config, overrides)
+
+    from ..runners.csi import run_experiment
+    result = run_experiment(cfg)
+    print(result)
+
+
+if __name__ == "__main__":
+    main()

@@ -223,12 +223,27 @@ def _count_round_metrics(logits: np.ndarray, y_test: np.ndarray) -> dict:
 # the runner
 # --------------------------------------------------------------------- #
 
+def _mesh_sharding(cfg: Config):
+    """Batch sharding over the config's device mesh (data parallelism); None
+    on a single device."""
+    import jax
+    if jax.device_count() <= 1:
+        return None
+    from ..parallel.mesh import batch_sharding, create_mesh
+    axes = cfg.mesh.resolved(jax.device_count())
+    mesh = create_mesh(axes)
+    # P('data') shards axis 0 and replicates all trailing dims regardless of
+    # rank, so the same sharding serves flat (B, F) and (B, T, F) batches
+    return batch_sharding(mesh, 1)
+
+
 def run_csi_model(cfg: Config,
                   data: Optional[Tuple[np.ndarray, ...]] = None,
-                  writer_factory: Optional[Callable[[str], MetricWriter]] = None
-                  ) -> Dict[str, Any]:
+                  writer_factory: Optional[Callable[[str], MetricWriter]] = None,
+                  use_mesh: bool = False) -> Dict[str, Any]:
     """Run `cfg.repeat` seeded experiments for cfg.model; returns the result
-    dict that run_main.py would JSON-dump."""
+    dict that run_main.py would JSON-dump. With use_mesh, batches are sharded
+    over the 'data' axis of the config mesh (data-parallel training)."""
     key = cfg.model
     if key == "ST-RF":
         return _run_strf(cfg, data)
@@ -297,6 +312,7 @@ def run_csi_model(cfg: Config,
             tx = transfer_optimizer(params, cfg.nn.lr, cfg.transfer_scenario)
 
         writer = writer_factory(f"{key}_{r}") if writer_factory else None
+        sharding = _mesh_sharding(cfg) if use_mesh else None
         t0 = time.time()
         fitres = fit(model, x_tr, y_tr_fit, x_va, y_va_fit,
                      loss_fn=loss_fn, mode=spec.mode, lr=cfg.nn.lr,
@@ -306,7 +322,8 @@ def run_csi_model(cfg: Config,
                      warmup_epochs=cfg.nn.scheduler.num_warmup_epochs,
                      min_lr_ratio=cfg.nn.scheduler.min_lr_ratio,
                      batch_axis=spec.batch_axis, writer=writer,
-                     init_variables=init_variables, tx=tx)
+                     init_variables=init_variables, tx=tx,
+                     sharding=sharding)
         t1 = time.time()
 
         if cfg.save_model:

@@ -1,0 +1,100 @@
+"""Checkpoint save/restore + transfer-learning scenario tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from multi_modal_csi_tpu.core.checkpoint import (RunCheckpointer,
+                                                 component_path,
+                                                 load_components,
+                                                 restore_scenario,
+                                                 save_components)
+from multi_modal_csi_tpu.models.csi.detr import DETRMultiUser
+from multi_modal_csi_tpu.train.transfer import transfer_optimizer
+
+
+@pytest.fixture(scope="module")
+def detr_variables():
+    model = DETRMultiUser(token_length=10, num_decoder_layers=2,
+                          dim_feedforward=32)
+    x = jnp.ones((1, 300, 30))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    return v["params"], v.get("batch_stats", {})
+
+
+def _tree_equal(a, b):
+    return all(jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x, y: bool(np.allclose(x, y)), a, b)))
+
+
+def test_component_roundtrip(tmp_path, detr_variables):
+    params, stats = detr_variables
+    path = component_path(str(tmp_path), ["empty_room"], "DETR")
+    assert path.endswith("model_0/PT_empty_room_DETR.msgpack")
+    save_components(path, params, stats)
+    loaded = load_components(path, like={"params": jax.device_get(params),
+                                         "batch_stats": jax.device_get(stats)})
+    assert _tree_equal(loaded["params"], params)
+
+
+def test_restore_scenarios(tmp_path, detr_variables):
+    params, stats = detr_variables
+    path = str(tmp_path / "full.msgpack")
+    save_components(path, params, stats)
+
+    # perturb, then restore selectively
+    zeroed = jax.tree_util.tree_map(lambda x: x * 0, params)
+
+    full_p, _ = restore_scenario(zeroed, stats, path, "full")
+    assert _tree_equal(full_p, params)
+
+    fe_p, _ = restore_scenario(zeroed, stats, path, "feature_extractor")
+    assert _tree_equal(fe_p["feature_extractor"], params["feature_extractor"])
+    # decoder stays zeroed (random in the reference)
+    leaf = jax.tree_util.tree_leaves(fe_p["decoder"])[0]
+    assert float(np.abs(leaf).sum()) == 0.0
+
+    enc_p, _ = restore_scenario(zeroed, stats, path, "feature_encoder")
+    assert _tree_equal(enc_p["feature_extractor"], params["feature_extractor"])
+    assert _tree_equal(enc_p["encoder"], params["encoder"])
+    leaf = jax.tree_util.tree_leaves(enc_p["decoder"])[0]
+    assert float(np.abs(leaf).sum()) == 0.0
+
+    with pytest.raises(ValueError):
+        restore_scenario(zeroed, stats, path, "bogus")
+
+
+def test_transfer_optimizer_freezes_and_scales(detr_variables):
+    params, _ = detr_variables
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    # feature_encoder: feature_extractor frozen
+    tx = transfer_optimizer(params, lr=1.0, scenario="feature_encoder")
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    fe_update = jax.tree_util.tree_leaves(updates["feature_extractor"])[0]
+    dec_update = jax.tree_util.tree_leaves(updates["decoder"])[0]
+    assert float(np.abs(fe_update).sum()) == 0.0
+    assert float(np.abs(dec_update).sum()) > 0.0
+
+    # feature_extractor scenario: tiny lr on extractor, full elsewhere
+    tx2 = transfer_optimizer(params, lr=1.0, scenario="feature_extractor")
+    state2 = tx2.init(params)
+    up2, _ = tx2.update(grads, state2, params)
+    fe = np.abs(np.asarray(jax.tree_util.tree_leaves(up2["feature_extractor"])[0])).max()
+    dec = np.abs(np.asarray(jax.tree_util.tree_leaves(up2["decoder"])[0])).max()
+    assert fe == pytest.approx(dec * 0.01, rel=1e-3)
+
+
+def test_run_checkpointer_roundtrip(tmp_path):
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.int64(7)}
+    ckpt = RunCheckpointer(str(tmp_path / "ckpts"))
+    ckpt.save(7, state)
+    assert ckpt.latest_step() == 7
+    like = {"params": {"w": np.zeros((2, 3), np.float32)}, "step": np.int64(0)}
+    restored = ckpt.restore(like)
+    np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
+    assert int(restored["step"]) == 7
