@@ -27,7 +27,8 @@ from sklearn.metrics import accuracy_score, classification_report
 from ..core.checkpoint import component_path, restore_scenario, save_components
 from ..core.config import Config
 from ..data.annotation import filter_annotation, label_list, load_annotation
-from ..data.csi_io import flatten_features, load_csi_windows
+from ..data.csi_io import flatten_features
+from ..data.native_loader import load_csi_windows_native as load_csi_windows
 from ..data.encoders import encode_labels, reduce_dataset
 from ..data.splits import concat_env_splits, env_split, valid_test_split
 from ..losses.basic import bce_with_logits, mse, smooth_l1
