@@ -110,9 +110,10 @@ def pad_normalize(x: jnp.ndarray, lengths: jnp.ndarray,
         valid = len_all_ref[i]
         pad = t - valid
         xs = x_ref[0]
+        # dynamic rotate: row t takes x[t - pad] (wrapped rows masked below).
+        # A per-row gather does not lower in Mosaic; a dynamic roll does.
+        shifted = pltpu.roll(xs, pad, 0)
         t_idx = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
-        src_idx = jnp.clip(t_idx - pad, 0, t - 1)
-        shifted = jnp.take_along_axis(xs, src_idx, axis=0)
         mask = (t_idx >= pad).astype(xs.dtype)
         if normalize:
             shifted = (shifted - mean_ref[:]) / std_ref[:]
