@@ -100,6 +100,7 @@ class WindowAttention3D(nn.Module):
     window: Window
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False   # fused kernel (kernels/window_attention.py)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -109,8 +110,6 @@ class WindowAttention3D(nn.Module):
         qkv = Linear(3 * c, xavier=False, name="qkv")(x)
         qkv = qkv.reshape(bn, n, 3, h, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]                    # (bn, h, n, d)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) / jnp.sqrt(d)
         table_size = ((2 * self.window[0] - 1) * (2 * self.window[1] - 1)
                       * (2 * self.window[2] - 1))
         bias_table = self.param("rel_pos_bias",
@@ -118,15 +117,22 @@ class WindowAttention3D(nn.Module):
                                 (table_size, h))
         idx = _relative_position_index(self.window).reshape(-1)
         bias = bias_table[idx].reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn + bias[None]
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bn // nw, nw, h, n, n) + mask[None, :, None]
-            attn = attn.reshape(bn, h, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32)
+        if self.use_pallas and self.attn_drop == 0.0:
+            from ...kernels.window_attention import window_attention
+            out = window_attention(q, k, v, bias, mask)     # (bn, h, n, d)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) / jnp.sqrt(d)
+            attn = attn + bias[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(bn // nw, nw, h, n, n) + mask[None, :, None]
+                attn = attn.reshape(bn, h, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop,
+                              deterministic=deterministic)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
         out = Linear(c, xavier=False, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
@@ -153,6 +159,7 @@ class SwinBlock3D(nn.Module):
     shifted: bool = False
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -173,6 +180,7 @@ class SwinBlock3D(nn.Module):
             mask = None
         windows = window_partition(x, window)
         attn = WindowAttention3D(self.dim, self.num_heads, window,
+                                 use_pallas=self.use_pallas,
                                  name="attn")(windows, mask, det)
         x = window_reverse(attn, window, b, tp, hp, wp)
         if any(shift):
@@ -214,6 +222,7 @@ class Swin3D(nn.Module):
     patch: Window = (2, 4, 4)
     backbone_classes: int = 400
     drop_path_rate: float = 0.1
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -230,6 +239,7 @@ class Swin3D(nn.Module):
             for blk in range(depth):
                 x = SwinBlock3D(dim, heads, self.window, shifted=blk % 2 == 1,
                                 drop_path=float(rates[k]),
+                                use_pallas=self.use_pallas_attention,
                                 name=f"stage{stage}_block{blk}")(x, train)
                 k += 1
             if stage < len(self.depths) - 1:
