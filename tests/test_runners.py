@@ -14,7 +14,7 @@ from multi_modal_csi_tpu.runners.csi import (CSI_MODELS,
 def _tiny_cfg(model, **nn_over):
     cfg = Config().override({
         "model": model, "repeat": 1,
-        "nn.epoch": 2, "nn.batch_size": 8, "nn.patience": 10,
+        "nn.epoch": 1, "nn.batch_size": 8, "nn.patience": 10,
         "nn.token_length": 10, "nn.num_decoder_layers": 2,
         "nn.dim_ffn": 32,
     })
@@ -23,7 +23,7 @@ def _tiny_cfg(model, **nn_over):
     return cfg
 
 
-def _synth(n=40, t=200, f=30, users=6, classes=9, seed=0, target="raw", cfg=None):
+def _synth(n=32, t=200, f=20, users=6, classes=9, seed=0, target="raw", cfg=None):
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(n, t, f)).astype(np.float32)
     y = np.zeros((n, users, classes), np.int64)
@@ -54,7 +54,7 @@ def test_cnn1d_count_round_runner():
 
 def test_that_runner_with_valid_split():
     cfg = _tiny_cfg("THAT")
-    result = run_csi_model(cfg, data=_synth(n=60))
+    result = run_csi_model(cfg, data=_synth(n=40))
     assert "final_metrics" in result
     assert "total_error" in result["final_metrics"]
 
@@ -69,7 +69,7 @@ def test_that_multi_head_runner():
 
 def test_that_count_runners():
     cfg = _tiny_cfg("THAT_COUNT")
-    result = run_csi_model(cfg, data=_synth(n=60))
+    result = run_csi_model(cfg, data=_synth(n=40))
     assert "final_metrics" in result
 
     cfg = _tiny_cfg("THAT_COUNT_CONSTRAINED")
@@ -81,7 +81,7 @@ def test_that_count_runners():
 def test_detr_runner():
     cfg = _tiny_cfg("DETR")
     spec = CSI_MODELS["DETR"]
-    data = _synth(n=60, t=300, target=spec.target, cfg=cfg)
+    data = _synth(n=40, t=300, target=spec.target, cfg=cfg)
     result = run_csi_model(cfg, data=data)
     assert "final_metrics" in result
     assert result["complexity"]["parameter"] > 0

@@ -26,7 +26,7 @@ def test_resnet3d18_shapes():
 
 
 def test_s3d_shapes():
-    x = jnp.ones((B, 16, 64, 64, 3))
+    x = jnp.ones((B, 8, 56, 56, 3))
     _, out, _ = _run(V.S3D(out_features=54), x)
     assert out.shape == (B, 54)
 
