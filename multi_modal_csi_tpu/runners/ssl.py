@@ -30,8 +30,8 @@ from ..train.loop import adam_like_torch, eval_dataset
 from ..data.pipeline import device_batches, epoch_batches
 
 
-def run_ssl(cfg: Config, data: Optional[Tuple[np.ndarray, ...]] = None
-            ) -> Dict[str, Any]:
+def run_ssl(cfg: Config, data: Optional[Tuple[np.ndarray, ...]] = None,
+            save_path: Optional[str] = None) -> Dict[str, Any]:
     from .csi import master_split, _layout
     if data is None:
         x_tr, x_te, y_tr, y_te = master_split(cfg, "raw")
@@ -111,6 +111,9 @@ def run_ssl(cfg: Config, data: Optional[Tuple[np.ndarray, ...]] = None
 
         if best_acc == 0.0:   # never improved -> final weights
             best = (jax.device_get(params), jax.device_get(batch_stats))
+        if save_path:         # checkpoint for inference_only (train_ssl.py:80-86)
+            from ..core.checkpoint import save_components
+            save_components(save_path, best[0], best[1])
 
         # full-test-set evaluation (inference_only.py:47-90)
         logits = eval_dataset(lambda p, b, x: infer(p, b, x), best[0], best[1],

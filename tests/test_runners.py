@@ -113,3 +113,30 @@ def test_run_experiment_writes_json(tmp_path):
     result = run_experiment(cfg, data=_synth(), save=True)
     assert (tmp_path / "result.json").exists()
     assert result["model"] == "MLP" and result["task"] == "activity"
+
+
+def test_ssl_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.core.checkpoint import load_components
+    from multi_modal_csi_tpu.models.csi.ssl import SSLModel
+    from multi_modal_csi_tpu.runners.ssl import run_ssl
+
+    cfg = _tiny_cfg("SSL")
+    data = _synth(n=24, t=1800)
+    path = str(tmp_path / "ssl.msgpack")
+    run_ssl(cfg, data=data, save_path=path)
+
+    x_te, y_te = data[1], data[3]
+    out_dim = y_te.reshape(y_te.shape[0], -1).shape[-1]
+    model = SSLModel(out_features=out_dim)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x_te[:2]), jnp.asarray(x_te[:2]),
+                           train=False)
+    saved = load_components(path, like={
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {})})
+    logits = model.apply({"params": saved["params"],
+                          "batch_stats": saved["batch_stats"]},
+                         jnp.asarray(x_te), inference=True)
+    assert logits.shape == (x_te.shape[0], out_dim)
