@@ -162,3 +162,36 @@ class ClipDataset:
     def batch(self, idx: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
         xs = np.stack([self[i][0] for i in idx])
         return xs, self.y[np.asarray(idx)]
+
+
+def prefetch_batches(dataset: ClipDataset, index_matrix: np.ndarray,
+                     num_workers: int = 4, prefetch: int = 2):
+    """Background-threaded batch iterator over a ClipDataset.
+
+    The host-side equivalent of the reference's DataLoader(num_workers=4)
+    (video/train.py:47): worker threads assemble the next batches while the
+    device computes on the current one.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def producer():
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                futures = [pool.submit(dataset.batch, row)
+                           for row in index_matrix]
+                for f in futures:
+                    q.put(f.result())
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item

@@ -66,3 +66,19 @@ def test_video_decode_roundtrip(tmp_path):
     frames = decode_video(path)
     assert frames.shape[0] == 10
     assert frames.shape[1:] == (48, 64, 3)
+
+
+def test_prefetch_batches(tmp_path):
+    from multi_modal_csi_tpu.data.video_io import prefetch_batches
+    rng = np.random.default_rng(0)
+    labels = [f"c{i}" for i in range(6)]
+    for label in labels:
+        np.save(tmp_path / f"{label}.npy",
+                rng.normal(size=(4, 8, 8, 3)).astype(np.float32))
+    ds = ClipDataset(str(tmp_path), labels, np.arange(6), 1)
+    idx = np.array([[0, 1], [2, 3], [4, 5]])
+    batches = list(prefetch_batches(ds, idx, num_workers=2))
+    assert len(batches) == 3
+    bx, by = batches[1]
+    assert bx.shape == (2, 4, 8, 8, 3)
+    np.testing.assert_array_equal(by, [2, 3])
