@@ -81,7 +81,7 @@ def test_that_count_runners():
 def test_detr_runner():
     cfg = _tiny_cfg("DETR")
     spec = CSI_MODELS["DETR"]
-    data = _synth(n=40, t=300, target=spec.target, cfg=cfg)
+    data = _synth(n=40, t=300, f=30, target=spec.target, cfg=cfg)  # 30 % 6 == 0
     result = run_csi_model(cfg, data=data)
     assert "final_metrics" in result
     assert result["complexity"]["parameter"] > 0
