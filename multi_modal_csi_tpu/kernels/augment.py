@@ -27,9 +27,17 @@ def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def _augment_kernel(seed_ref, x_ref, out_ref):
-    i = pl.program_id(0)
+    i = pl.program_id(0)        # sample
+    j = pl.program_id(1)        # time tile
+    # per-SAMPLE scale: same seed (and same draw position) for every tile of
+    # a sample, so the scale is consistent across tiles
     pltpu.prng_seed(seed_ref[0] + i)
-    x = x_ref[0]                                   # (T, F) one sample
+    s_bits = pltpu.bitcast(pltpu.prng_random_bits((1, 128)), jnp.uint32)
+    scale = 0.9 + 0.2 * _uniform_from_bits(s_bits)[0, 0]
+
+    # per-TILE stream for noise/mask
+    pltpu.prng_seed(seed_ref[0] + i * 7919 + (j + 1) * 104729)
+    x = x_ref[0]                                   # (tile, F)
 
     # gaussian noise sigma 0.1 (Box-Muller on two uniform draws)
     u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(x.shape),
@@ -38,12 +46,7 @@ def _augment_kernel(seed_ref, x_ref, out_ref):
                                           jnp.uint32))
     eps = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-7))) \
         * jnp.cos(2.0 * jnp.pi * u2)
-    x = x + eps * 0.1
-
-    # per-sample scale in [0.9, 1.1)
-    s_bits = pltpu.bitcast(pltpu.prng_random_bits((1, 128)), jnp.uint32)
-    scale = 0.9 + 0.2 * _uniform_from_bits(s_bits)[0, 0]
-    x = x * scale
+    x = (x + eps * 0.1) * scale
 
     # bernoulli keep-mask p=0.96
     m = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(x.shape),
@@ -65,12 +68,21 @@ def fused_augmentation(rng: jax.Array, x: jnp.ndarray, *,
                                   interpret=interpret)[:, 0]
     b, t, f = x.shape
     seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    # tile the time axis so VMEM holds ~tile*F floats (x + 3 random draws),
+    # not the whole 3000-step window
+    tile = t
+    max_rows = max(8, (1024 * 1024) // max(f * 4, 1))
+    while tile > max_rows and tile % 2 == 0:
+        tile //= 2
+    num_tiles = t // tile
+    if num_tiles * tile != t:       # indivisible: single tile fallback
+        tile, num_tiles = t, 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, t, f), lambda i, *_: (i, 0, 0),
+        grid=(b, num_tiles),
+        in_specs=[pl.BlockSpec((1, tile, f), lambda i, j, *_: (i, j, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, t, f), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, tile, f), lambda i, j, *_: (i, j, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
