@@ -63,9 +63,10 @@ def fused_augmentation(rng: jax.Array, x: jnp.ndarray, *,
         # pltpu.prng_* has no interpret-mode support; use the jnp equivalent
         return _jnp_augment(rng, x)
     interpret = bool(interpret) and not on_tpu
-    if x.ndim == 2:           # flattened MLP windows: treat as (B, 1, F)
-        return fused_augmentation(rng, x[:, None, :],
-                                  interpret=interpret)[:, 0]
+    if x.ndim == 2:
+        # flattened MLP windows: a (1, 810000) block cannot tile VMEM sanely;
+        # the jnp chain is already negligible next to the MLP's first matmul
+        return _jnp_augment(rng, x)
     b, t, f = x.shape
     seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     # tile the time axis so VMEM holds ~tile*F floats (x + 3 random draws),
