@@ -22,6 +22,22 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (jax.distributed) — the TPU-native
+    equivalent of the communication backend the reference never activates
+    (SURVEY.md §5.8). No-op on a single host or when already initialized."""
+    if num_processes in (None, 1):
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def create_mesh(axis_sizes: Optional[Dict[str, int]] = None,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a Mesh with named axes ('data', 'model').

@@ -137,7 +137,9 @@ def fit(model,
         writer: Optional[MetricWriter] = None,
         init_variables: Optional[Tuple[Any, Any]] = None,
         tx: Optional[optax.GradientTransformation] = None,
-        eval_chunk: int = 512) -> FitResult:
+        eval_chunk: int = 512,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0) -> FitResult:
     """Train `model` and return the best weights by the reference's rule.
 
     `mode` feeds performance_metrics (baseline | multi_head |
@@ -180,9 +182,27 @@ def fit(model,
     counter = 0
     history: List[Dict[str, float]] = []
 
+    # preemption-safe resume (SURVEY.md §5.3/§5.4: capability the reference
+    # lacks — its best weights lived only in process memory)
+    ckpt = None
+    start_epoch = 0
+    if checkpoint_dir and checkpoint_every > 0:
+        from ..core.checkpoint import RunCheckpointer
+        ckpt = RunCheckpointer(checkpoint_dir)
+        latest = ckpt.latest_step()
+        if latest is not None:
+            state = ckpt.restore({"params": jax.device_get(params),
+                                  "batch_stats": jax.device_get(batch_stats),
+                                  "opt_state": jax.device_get(opt_state),
+                                  "epoch": np.int64(0)})
+            params = state["params"]
+            batch_stats = state["batch_stats"]
+            opt_state = state["opt_state"]
+            start_epoch = int(state["epoch"]) + 1
+
     y_valid_np = np.asarray(y_valid)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         idx = epoch_batches(n, batch_size, np_rng, skip_last=True)
         last_by = None
@@ -240,6 +260,11 @@ def fit(model,
             counter = 0
         else:
             counter += 1
+        if ckpt and (epoch + 1) % checkpoint_every == 0:
+            ckpt.save(epoch, {"params": jax.device_get(params),
+                              "batch_stats": jax.device_get(batch_stats),
+                              "opt_state": jax.device_get(opt_state),
+                              "epoch": np.int64(epoch)})
         if counter >= patience:
             break
 

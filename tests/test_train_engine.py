@@ -83,3 +83,18 @@ def test_eval_dataset_chunking_matches_single_shot():
     a = eval_dataset(forward, res.best_params, res.best_batch_stats, x, chunk=16)
     b = eval_dataset(forward, res.best_params, res.best_batch_stats, x, chunk=40)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_fit_checkpoint_resume(tmp_path):
+    x, y = _synthetic_baseline(n=48)
+    model = MLP(out_features=y.shape[-1])
+    kwargs = dict(loss_fn=lambda o, t: bce_with_logits(o, t, 4.0),
+                  mode="baseline", lr=1e-3, batch_size=16, seed=39,
+                  augment=False, patience=100,
+                  checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2)
+    # train 4 epochs with checkpoints
+    res1 = fit(model, x, y, x, y, epochs=4, **kwargs)
+    assert res1.epochs_ran == 4
+    # "preempted" restart: resumes from the epoch-3 checkpoint
+    res2 = fit(model, x, y, x, y, epochs=6, **kwargs)
+    assert res2.epochs_ran == 2  # epochs 4 and 5 only
