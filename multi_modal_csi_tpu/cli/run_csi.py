@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--config", default=None, help="JSON config file")
     p.add_argument("--set", action="append", default=[],
                    metavar="KEY=VALUE", help="dotted-path override")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard batches over the device mesh (data parallel)")
     return p.parse_args()
 
 
@@ -44,8 +46,22 @@ def main() -> None:
         overrides["data.num_users"] = [u.strip() for u in args.users.split(",")]
     cfg = load_config(args.config, overrides)
 
-    from ..runners.csi import run_experiment
-    result = run_experiment(cfg)
+    from ..runners.csi import run_csi_model, run_experiment
+    if args.mesh:
+        import dataclasses
+        import json
+        import os
+        from ..utils.results import NumpyJSONEncoder
+        result = run_csi_model(cfg, use_mesh=True)
+        result.update(model=cfg.model, task=cfg.task,
+                      data=dataclasses.asdict(cfg.data),
+                      nn=dataclasses.asdict(cfg.nn))
+        if cfg.path.save:
+            os.makedirs(os.path.dirname(cfg.path.save) or ".", exist_ok=True)
+            with open(cfg.path.save, "w") as f:
+                json.dump(result, f, indent=4, cls=NumpyJSONEncoder)
+    else:
+        result = run_experiment(cfg)
     print(result)
 
 
