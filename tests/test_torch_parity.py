@@ -28,3 +28,11 @@ def test_that_matches_reference_torch_model():
     from tools.parity_check import check_that
     err = check_that(atol=2e-4)
     assert err < 2e-4
+
+
+@pytest.mark.parametrize("name", ["mlp", "cnn1d", "cnn2d", "lstm",
+                                  "ablstm", "clstm"])
+def test_baseline_models_match_reference(name):
+    from tools.parity_check import ALL_CHECKS
+    err = ALL_CHECKS[name](atol=1e-4)
+    assert err < 1e-4

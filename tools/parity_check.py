@@ -184,10 +184,171 @@ def check_that(atol=2e-4) -> float:
     return err
 
 
+
+def _lstm(dst, params, name="fwd", suffix="l0"):
+    dst_w_ih = getattr(dst, f"weight_ih_{suffix}")
+    dst_w_hh = getattr(dst, f"weight_hh_{suffix}")
+    dst_b_ih = getattr(dst, f"bias_ih_{suffix}")
+    dst_b_hh = getattr(dst, f"bias_hh_{suffix}")
+    dst_w_ih.data = _t(params[f"w_ih_{name}"]).T
+    dst_w_hh.data = _t(params[f"w_hh_{name}"]).T
+    dst_b_ih.data = _t(params[f"b_ih_{name}"])
+    dst_b_hh.data = _t(params[f"b_hh_{name}"])
+
+
+def _bn_direct(dst, p, s):
+    """BatchNorm whose flax module sits directly at this param node."""
+    _bn(dst, p, s)
+
+
+def check_mlp(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.mlp import MLP
+    F = 1024
+    x = np.random.default_rng(2).normal(size=(4, F)).astype(np.float32)
+    model = MLP(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("mlp.py")
+    tm = ref.MLP((F,), (54,)); tm.eval()
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    _linear(tm.layer_0, v["params"]["layer_0"])
+    _linear(tm.layer_1, v["params"]["layer_1"])
+    _linear(tm.layer_2, v["params"]["layer_2"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"MLP parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+def check_cnn1d(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.cnn_1d import CNN1D
+    T, F = 600, 270
+    x = np.random.default_rng(3).normal(size=(2, T, F)).astype(np.float32)
+    model = CNN1D(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("cnn_1d.py")
+    tm = ref.CNN_1D((T, F), (54,)); tm.eval()
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    for i in range(3):
+        _conv1d(getattr(tm, f"layer_cnn_1d_{i}"), {"conv": v["params"][f"conv_{i}"]["conv"]})
+    _linear(tm.layer_linear, v["params"]["head"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"CNN-1D parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+def check_cnn2d(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.cnn_2d import CNN2D
+    T, F = 300, 270
+    x = np.random.default_rng(4).normal(size=(2, T, F)).astype(np.float32)
+    model = CNN2D(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("cnn_2d.py")
+    tm = ref.CNN_2D((T, F), (54,)); tm.eval()
+    for i in range(4):
+        _bn(getattr(tm, f"layer_norm_{i}"), v["params"][f"norm_{i}"], v["batch_stats"][f"norm_{i}"])
+    for i in range(3):
+        # flax conv2d kernel (kh, kw, in, out) -> torch (out, in, kh, kw)
+        kern = np.asarray(v["params"][f"conv_{i}"]["conv"]["kernel"])
+        conv = getattr(tm, f"layer_cnn_2d_{i}")
+        conv.weight.data = _t(np.transpose(kern, (3, 2, 0, 1)))
+        conv.bias.data = _t(v["params"][f"conv_{i}"]["conv"]["bias"])
+    _linear(tm.layer_linear, v["params"]["head"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"CNN-2D parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+def check_lstm(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.lstm import LSTMModel
+    T, F = 200, 90
+    x = np.random.default_rng(5).normal(size=(2, T, F)).astype(np.float32)
+    model = LSTMModel(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("lstm.py")
+    tm = ref.LSTMM((T, F), (54,)); tm.eval()
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    _lstm(tm.layer_lstm, v["params"]["lstm"])
+    _linear(tm.layer_linear, v["params"]["head"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"LSTM parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+def check_ablstm(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.ablstm import ABLSTM
+    T, F = 320, 90
+    x = np.random.default_rng(6).normal(size=(2, T, F)).astype(np.float32)
+    model = ABLSTM(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("ablstm.py")
+    tm = ref.ABLSTM((T, F), (54,)); tm.eval()
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    _lstm(tm.layer_bilstm, v["params"]["bilstm"], "fwd", "l0")
+    _lstm(tm.layer_bilstm, v["params"]["bilstm"], "bwd", "l0_reverse")
+    _linear(tm.layer_linear, v["params"]["attn"])
+    _linear(tm.layer_output, v["params"]["head"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"ABLSTM parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+def check_clstm(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.clstm import CLSTM
+    T, F = 1800, 90
+    x = np.random.default_rng(7).normal(size=(2, T, F)).astype(np.float32)
+    model = CLSTM(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("cnn_lstm.py")
+    tm = ref.CNN_LSTM((T, F), (54,)); tm.eval()
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    for i in range(3):
+        _conv1d(getattr(tm, f"layer_cnn_1d_{i}"), {"conv": v["params"][f"conv_{i}"]["conv"]})
+        _bn(getattr(tm, f"layer_norm_{i}"), v["params"][f"norm_{i}"], v["batch_stats"][f"norm_{i}"])
+    _lstm(tm.layer_lstm, v["params"]["lstm"])
+    _linear(tm.layer_linear, v["params"]["head"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"CLSTM parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+ALL_CHECKS = {
+    "detr": check_detr, "that": check_that, "mlp": check_mlp,
+    "cnn1d": check_cnn1d, "cnn2d": check_cnn2d, "lstm": check_lstm,
+    "ablstm": check_ablstm, "clstm": check_clstm,
+}
+
+
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["detr", "that"]
-    if "detr" in which:
-        check_detr()
-    if "that" in which:
-        check_that()
+    which = sys.argv[1:] or list(ALL_CHECKS)
+    for name in which:
+        ALL_CHECKS[name]()
     print("PARITY OK")
