@@ -36,3 +36,9 @@ def test_baseline_models_match_reference(name):
     from tools.parity_check import ALL_CHECKS
     err = ALL_CHECKS[name](atol=1e-4)
     assert err < 1e-4
+
+
+def test_that_encoder_matches_reference():
+    from tools.parity_check import check_that_encoder
+    err = check_that_encoder(atol=3e-4)
+    assert err < 3e-4

@@ -352,3 +352,59 @@ if __name__ == "__main__":
     for name in which:
         ALL_CHECKS[name]()
     print("PARITY OK")
+
+
+def check_that_encoder(atol=2e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.that_encoder import THATEncoderDETR
+    T, F = 400, 270
+    x = np.random.default_rng(8).normal(size=(2, T, F)).astype(np.float32)
+    model = THATEncoderDETR(temp_cross=1.0, num_queries=5, num_decoder_layers=3)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    p, s = v["params"], v["batch_stats"]
+
+    ref = load_ref_module("that_encoder.py")
+    tm = ref.DETR_MultiUser((T, F), (54,), temp_cross=1, num_queries=5)
+    # the reference hardcodes 6 decoder layers; rebuild with 3 for the test
+    tm.decoder = ref.TransformerDecoder(d_model=270, nhead=6,
+                                        num_decoder_layers=3, num_queries=5,
+                                        dim_feedforward=2048,
+                                        temp_cross_attention=1)
+    tm.eval()
+
+    ep, es = p["encoder"], s["encoder"]
+    _gaussian(tm.encoder.layer_left_gaussian, ep["gaussian"])
+    for i in range(4):
+        _encoder_block(tm.encoder.layer_left_encoder[i],
+                       ep[f"left_encoder_{i}"], es[f"left_encoder_{i}"], 3)
+    _ln(tm.encoder.layer_left_norm, ep["left_norm"])
+    for i in range(1):
+        _encoder_block(tm.encoder.layer_right_encoder[i],
+                       ep[f"right_encoder_{i}"], es[f"right_encoder_{i}"], 3)
+    _ln(tm.encoder.layer_right_norm, ep["right_norm"])
+
+    dp = p["decoder"]
+    tm.decoder.query_embed.data = _t(dp["query_embed"])
+    layer = tm.decoder.decoder_layers[0]
+    lp = dp["shared_layer"]
+    _mha(layer.self_attn, lp["self_attn"])
+    _mha(layer.cross_attn, lp["cross_attn"])
+    _ln(layer.norm1, lp["norm1"])
+    _ln(layer.norm2, lp["norm2"])
+    _ln(layer.norm3, lp["norm3"])
+    _linear(layer.ffn[0], lp["ffn_up"])
+    _linear(layer.ffn[3], lp["ffn_down"])
+    _ln(tm.decoder.norm, dp["norm"])
+    for i in range(4):      # num_layers + 1 heads
+        _linear(tm.decoder.class_embed[i], dp[f"class_embed_{i}"])
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"THAT_ENCODER parity: {err:.2e} (out range {want.min():.2f}..{want.max():.2f})")
+    assert err < atol, f"THAT_ENCODER diverges: {err}"
+    return err
+
+
+ALL_CHECKS["that_encoder"] = check_that_encoder
