@@ -89,7 +89,12 @@ def _shift_mask(dims: Tuple[int, int, int], window: Window,
     for st, sh_, sw in itertools.product(*slices):
         img[:, st, sh_, sw, :] = cnt
         cnt += 1
-    win_ids = np.asarray(window_partition(jnp.asarray(img), window))[..., 0]
+    # pure-numpy window partition: this runs at TRACE time (static mask), so
+    # it must never touch jnp (inside jit every jnp op becomes a tracer)
+    wt, wh, ww = window
+    ids = img.reshape(1, t // wt, wt, h // wh, wh, w // ww, ww, 1)
+    ids = ids.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    win_ids = ids.reshape(-1, wt * wh * ww)
     mask = win_ids[:, None, :] - win_ids[:, :, None]
     return np.where(mask == 0, 0.0, -100.0).astype(np.float32)
 
