@@ -75,10 +75,15 @@ def _relative_position_index(window: Window) -> np.ndarray:
     return rel.sum(-1)
 
 
-def _shift_mask(dims: Tuple[int, int, int], window: Window,
-                shift: Window) -> np.ndarray:
-    """Static attention mask for shifted windows: (nW, N, N) with 0 for
-    same-region pairs and -inf otherwise."""
+def _shift_window_ids(dims: Tuple[int, int, int], window: Window,
+                      shift: Window) -> np.ndarray:
+    """(nW, N) int32 region ids per window token for the shifted layout.
+
+    Pure numpy at trace time. The additive (nW, N, N) mask is derived
+    ON DEVICE from these ids (see _shift_mask / SwinBlock3D) — baking the
+    full float mask as a constant is ~100 MB at 224^2 resolution and
+    overflows program-size limits.
+    """
     t, h, w = dims
     img = np.zeros((1, t, h, w, 1))
     cnt = 0
@@ -89,12 +94,16 @@ def _shift_mask(dims: Tuple[int, int, int], window: Window,
     for st, sh_, sw in itertools.product(*slices):
         img[:, st, sh_, sw, :] = cnt
         cnt += 1
-    # pure-numpy window partition: this runs at TRACE time (static mask), so
-    # it must never touch jnp (inside jit every jnp op becomes a tracer)
     wt, wh, ww = window
     ids = img.reshape(1, t // wt, wt, h // wh, wh, w // ww, ww, 1)
     ids = ids.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    win_ids = ids.reshape(-1, wt * wh * ww)
+    return ids.reshape(-1, wt * wh * ww).astype(np.int32)
+
+
+def _shift_mask(dims: Tuple[int, int, int], window: Window,
+                shift: Window) -> np.ndarray:
+    """(nW, N, N) additive mask (0 same-region, -100 cross-region)."""
+    win_ids = _shift_window_ids(dims, window, shift)
     mask = win_ids[:, None, :] - win_ids[:, :, None]
     return np.where(mask == 0, 0.0, -100.0).astype(np.float32)
 
@@ -180,7 +189,10 @@ class SwinBlock3D(nn.Module):
         _, tp, hp, wp, _ = x.shape
         if any(shift):
             x = jnp.roll(x, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            mask = jnp.asarray(_shift_mask((tp, hp, wp), window, shift))
+            # keep only the small (nW, N) id table as a constant; expand the
+            # additive mask on device
+            ids = jnp.asarray(_shift_window_ids((tp, hp, wp), window, shift))
+            mask = jnp.where(ids[:, None, :] == ids[:, :, None], 0.0, -100.0)
         else:
             mask = None
         windows = window_partition(x, window)
