@@ -42,3 +42,11 @@ def test_that_encoder_matches_reference():
     from tools.parity_check import check_that_encoder
     err = check_that_encoder(atol=3e-4)
     assert err < 3e-4
+
+
+@pytest.mark.parametrize("name", ["that_multi_head", "that_count_constrained",
+                                  "dual_band", "ssl"])
+def test_remaining_models_match_reference(name):
+    from tools.parity_check import ALL_CHECKS
+    err = ALL_CHECKS[name](atol=2e-4)
+    assert err < 2e-4

@@ -408,3 +408,125 @@ def check_that_encoder(atol=2e-4):
 
 
 ALL_CHECKS["that_encoder"] = check_that_encoder
+
+
+def _that_trunk(tm, tp, ts):
+    """Map a THATTrunk param tree onto a reference THAT-family torch module."""
+    _gaussian(tm.layer_left_gaussian, tp["gaussian"])
+    for i in range(4):
+        _encoder_block(tm.layer_left_encoder[i], tp[f"left_encoder_{i}"],
+                       ts[f"left_encoder_{i}"], 3)
+    _ln(tm.layer_left_norm, tp["left_norm"])
+    _conv1d(tm.layer_left_cnn_0, {"conv": tp["left_cnn_0"]["conv"]})
+    _conv1d(tm.layer_left_cnn_1, {"conv": tp["left_cnn_1"]["conv"]})
+    for i in range(1):
+        _encoder_block(tm.layer_right_encoder[i], tp[f"right_encoder_{i}"],
+                       ts[f"right_encoder_{i}"], 3)
+    _ln(tm.layer_right_norm, tp["right_norm"])
+    _conv1d(tm.layer_right_cnn_0, {"conv": tp["right_cnn_0"]["conv"]})
+    _conv1d(tm.layer_right_cnn_1, {"conv": tp["right_cnn_1"]["conv"]})
+
+
+def check_that_multi_head(atol=2e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.that import THATMultiHead
+    T, F = 400, 270
+    x = np.random.default_rng(9).normal(size=(2, T, F)).astype(np.float32)
+    model = THATMultiHead(out_features=10)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("that_multi_head.py")
+    tm = ref.THAT((T, F), (10,)); tm.eval()
+    _that_trunk(tm, v["params"]["trunk"], v["batch_stats"]["trunk"])
+    for i in range(5):
+        _linear(tm.layer_output[i], v["params"][f"head_{i}"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"THAT_MULTI_HEAD parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+def check_that_count_constrained(atol=2e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.that import THATCountConstrained
+    T, F = 400, 270
+    x = np.random.default_rng(10).normal(size=(2, T, F)).astype(np.float32)
+    model = THATCountConstrained()
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("that_count_pred_withSoftMaxConstraint.py")
+    tm = ref.THAT_COUNT_PRED_with_Constraint((T, F), (10,)); tm.eval()
+    _that_trunk(tm, v["params"]["trunk"], v["batch_stats"]["trunk"])
+    _linear(tm.layer_output, v["params"]["head"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"THAT_COUNT_CONSTRAINED parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+def check_dual_band(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.dual_band import DualBandCNN
+    T, F = 600, 90
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 2, T, F)).astype(np.float32)
+    model = DualBandCNN(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("dual_band.py")
+    tm = ref.DualBandCNN((T, F), (T, F), (54,)); tm.eval()
+
+    def map_tower(dst, p, s):
+        _bn(dst.layer_norm, p["input_norm"], s["input_norm"])
+        for i in range(3):
+            _conv1d(getattr(dst, f"layer_cnn_1d_{i}"), {"conv": p[f"conv_{i}"]["conv"]})
+        _linear(dst.layer_linear, p["head"])
+
+    map_tower(tm.cnn_band1, v["params"]["band1"], v["batch_stats"]["band1"])
+    map_tower(tm.cnn_band2, v["params"]["band2"], v["batch_stats"]["band2"])
+    _linear(tm.combine_linear, v["params"]["combine"])
+    for i in range(3):
+        _linear(getattr(tm, f"linear{i+1}"), v["params"][f"res_{i}"])
+    _linear(tm.final_linear, v["params"]["head"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x[:, 0]), torch.from_numpy(x[:, 1])).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"DualBand parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+def check_ssl(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.ssl import SSLModel
+    T, F = 600, 90
+    x = np.random.default_rng(12).normal(size=(2, T, F)).astype(np.float32)
+    model = SSLModel(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+                   jnp.asarray(x), train=False)
+    ref = load_ref_module("SSL_model.py")
+    tm = ref.SS_Model((T, F), (54,)); tm.eval()
+    p, s = v["params"], v["batch_stats"]
+    _bn(tm.backbone.layer_norm, p["backbone"]["input_norm"],
+        s["backbone"]["input_norm"])
+    for i in range(3):
+        _conv1d(getattr(tm.backbone, f"layer_cnn_1d_{i}"),
+                {"conv": p["backbone"][f"conv_{i}"]["conv"]})
+    _linear(tm.backbone.layer_linear, p["backbone"]["head"])
+    _linear(tm.online_head, p["online_head"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x), inference=True).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), inference=True))
+    err = float(np.abs(got - want).max())
+    print(f"SSL (inference head) parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+ALL_CHECKS.update(that_multi_head=check_that_multi_head,
+                  that_count_constrained=check_that_count_constrained,
+                  dual_band=check_dual_band, ssl=check_ssl)
