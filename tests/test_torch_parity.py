@@ -50,3 +50,8 @@ def test_remaining_models_match_reference(name):
     from tools.parity_check import ALL_CHECKS
     err = ALL_CHECKS[name](atol=2e-4)
     assert err < 2e-4
+
+
+def test_that_count_matches_reference():
+    from tools.parity_check import check_that_count
+    assert check_that_count(atol=2e-4) < 2e-4

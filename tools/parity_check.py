@@ -530,3 +530,27 @@ def check_ssl(atol=1e-4):
 ALL_CHECKS.update(that_multi_head=check_that_multi_head,
                   that_count_constrained=check_that_count_constrained,
                   dual_band=check_dual_band, ssl=check_ssl)
+
+
+def check_that_count(atol=2e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.that import THATCount
+    T, F = 400, 270
+    x = np.random.default_rng(13).normal(size=(2, T, F)).astype(np.float32)
+    model = THATCount(out_features=9)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("that_count_pred.py")
+    tm = ref.THAT_COUNT_PRED((T, F), (9,)); tm.eval()
+    _that_trunk(tm, v["params"]["trunk"], v["batch_stats"]["trunk"])
+    _linear(tm.layer_output, v["params"]["head"])
+    import torch as _torch
+    with _torch.no_grad():
+        want = tm(_torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    err = float(np.abs(got - want).max())
+    print(f"THAT_COUNT parity: {err:.2e}")
+    assert err < atol
+    return err
+
+
+ALL_CHECKS["that_count"] = check_that_count
