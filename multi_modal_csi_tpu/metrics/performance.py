@@ -124,7 +124,14 @@ def performance_metrics(y_true: np.ndarray, y_pred: np.ndarray,
         y_pred = np.clip(threshold_round(y_pred, threshold=0.5), 0, 5)
     elif var_mode == "baseline":
         y_pred = (1.0 / (1.0 + np.exp(-y_pred))).astype(float)
-        y_true = y_true.reshape(y_true.shape[0], -1, 9)
+        # the reference hardcodes 9 activity classes (utils.py:236) and
+        # therefore breaks on identity/location labels; infer the per-user
+        # class count from the label width instead (9 activities, 5
+        # locations, 1 identity bit — all per 6 users)
+        flat = y_true.reshape(y_true.shape[0], -1)
+        classes = next((c for c in (9, 5, 1) if flat.shape[1] % (6 * c) == 0
+                        and flat.shape[1] // c >= 1), 9)
+        y_true = flat.reshape(flat.shape[0], -1, classes)
         y_pred = y_pred.reshape(y_true.shape[0], y_true.shape[1], y_true.shape[2])
         y_pred, y_true, batch_size = process_predictions(y_pred, y_true, 0.5)
     else:

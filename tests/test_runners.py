@@ -140,3 +140,21 @@ def test_ssl_checkpoint_roundtrip(tmp_path):
                           "batch_stats": saved["batch_stats"]},
                          jnp.asarray(x_te), inference=True)
     assert logits.shape == (x_te.shape[0], out_dim)
+
+
+@pytest.mark.parametrize("task,classes", [("identity", 1), ("location", 5)])
+def test_identity_and_location_tasks(task, classes):
+    # identity labels are (N, 6) bits; location (N, 6, 5) one-hots
+    rng = np.random.default_rng(0)
+    n = 32
+    x = rng.normal(size=(n, 200, 20)).astype(np.float32)
+    if task == "identity":
+        y = rng.integers(0, 2, size=(n, 6)).astype(np.int8)
+    else:
+        y = np.zeros((n, 6, classes), np.int64)
+        for i in range(n):
+            y[i, rng.integers(0, 6), rng.integers(0, classes)] = 1
+    cfg = _tiny_cfg("MLP").override({"task": task})
+    split = int(n * 0.8)
+    result = run_csi_model(cfg, data=(x[:split], x[split:], y[:split], y[split:]))
+    assert 0.0 <= result["accuracy"]["avg"] <= 1.0
