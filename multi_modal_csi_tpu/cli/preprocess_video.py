@@ -26,13 +26,21 @@ def main() -> None:
     p.add_argument("--model", default="Swin-T")
     p.add_argument("--path_data_pre_x", default="dataset/cache")
     p.add_argument("--threads", default=4, type=int)
+    p.add_argument("--check", action="store_true",
+                   help="integrity sweep only (video/load_data.py:93-117): "
+                        "report clips whose frame count != 90")
     args = p.parse_args()
 
     labels = label_list(load_annotation(args.path_data_y))
     print(len(labels))
     t0 = time.time()
-    bad = preprocess_video_dir(args.path_data_x, labels, args.model,
-                               args.path_data_pre_x, num_threads=args.threads)
+    if args.check:
+        from ..data.video_io import check_video_integrity
+        bad = check_video_integrity(args.path_data_x, labels)
+    else:
+        bad = preprocess_video_dir(args.path_data_x, labels, args.model,
+                                   args.path_data_pre_x,
+                                   num_threads=args.threads)
     for label in bad:
         print(label, "Warning!")
     print("Preprocess Time:", time.time() - t0)
