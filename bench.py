@@ -4,18 +4,18 @@ Prints ONE JSON line:
   {"metric": "csi_windows_per_sec_per_chip", "value": N, "unit": "windows/s",
    "vs_baseline": R}
 
-Configuration: batch 256, bfloat16 params/activations with float32 MXU
-accumulation (preferred_element_type) — the production TPU serving setup.
-The baseline denominator is the reference's PyTorch-CPU DETR inference
-throughput on identical (3000, 270) windows, measured by
-tools/measure_baseline.py and recorded in BASELINE.md.
-Target (BASELINE.json): >=5x PyTorch-CPU per chip.
+Methodology (important on relayed/async backends): repeated identical
+executions get result-cached, and block_until_ready can resolve before remote
+compute completes — both fake enormous numbers. This bench therefore:
+  1. chains each iteration's INPUT through the previous OUTPUT (full data
+     dependency — nothing can be elided or cached);
+  2. FETCHES the final output bytes to host (cannot be faked);
+  3. reports the MARGINAL cost per step between a short and a long chain,
+     which cancels the fixed dispatch/fetch round-trip.
 
-Measured history (v5e, 1 chip):
-  f32  bs=8   : 4312 windows/s   (328x)
-  f32  bs=64  : 11582 windows/s  (883x)
-  bf16 bs=64  : 14223 windows/s  (1084x)
-  bf16 bs=256 : 26123 windows/s  (1991x)
+Configuration: batch 256, bfloat16 with f32 MXU accumulation. Baseline:
+the reference's PyTorch-CPU DETR throughput (tools/measure_baseline.py,
+see BASELINE.md). Target (BASELINE.json): >=5x PyTorch-CPU per chip.
 """
 
 from __future__ import annotations
@@ -26,9 +26,27 @@ import time
 import numpy as np
 
 # PyTorch-CPU reference throughput (windows/sec) for DETR_MultiUser inference
-# on (3000, 270) float32 windows, measured on this machine by
-# tools/measure_baseline.py — see BASELINE.md.
+# on (3000, 270) float32 windows — tools/measure_baseline.py, BASELINE.md.
 PYTORCH_CPU_BASELINE_WPS = 13.12
+
+
+def chained_wps(step, v, x, batch: int, n_short: int = 2,
+                n_long: int = 12) -> float:
+    """Marginal windows/sec between two chained runs (fetch included)."""
+    def run(n):
+        xs = x
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            xs, out = step(v, xs)
+        np.asarray(out)                       # fetch — forces real completion
+        return time.perf_counter() - t0
+
+    xs, out = step(v, x)
+    np.asarray(out)                           # compile + warm fetch path
+    t_short = run(n_short)
+    t_long = run(n_long)
+    return batch * (n_long - n_short) / max(t_long - t_short, 1e-9)
 
 
 def main() -> None:
@@ -49,17 +67,12 @@ def main() -> None:
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
 
     @jax.jit
-    def forward(x):
-        return model.apply(variables, x, train=False)
+    def step(v, x):
+        out = model.apply(v, x, train=False)
+        nxt = x + jnp.asarray(1e-6, x.dtype) * jnp.mean(out).astype(x.dtype)
+        return nxt, out
 
-    forward(x).block_until_ready()          # compile
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = forward(x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    wps = batch * n_iter / dt
+    wps = chained_wps(step, variables, x, batch)
 
     print(json.dumps({
         "metric": "csi_windows_per_sec_per_chip",
