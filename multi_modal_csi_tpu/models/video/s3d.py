@@ -111,7 +111,15 @@ class S3D(nn.Module):
             else:
                 x = MixedBlock(*cfg, name=f"mixed_{i}")(x, train)
                 i += 1
-        x = jnp.mean(x, axis=(1, 2, 3))
+        # torchvision head semantics: AvgPool3d((2,7,7), stride=1) ->
+        # Dropout -> 1x1x1 conv classifier -> mean over remaining positions.
+        # The sliding avg-pool weights interior frames more than a global
+        # mean, so it is preserved exactly (window clipped at toy dims,
+        # where torchvision's fixed (2,7,7) would not run at all).
+        window = tuple(min(k, s) for k, s in zip((2, 7, 7), x.shape[1:4]))
+        x = nn.avg_pool(x, window_shape=window, strides=(1, 1, 1),
+                        padding="VALID")
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = Linear(self.backbone_classes, xavier=False, name="classifier")(x)
+        x = jnp.mean(x, axis=(1, 2, 3))
         return Linear(self.out_features, xavier=False, name="head")(x)

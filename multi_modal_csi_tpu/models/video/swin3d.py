@@ -111,7 +111,8 @@ def _shift_mask(dims: Tuple[int, int, int], window: Window,
 class WindowAttention3D(nn.Module):
     dim: int
     num_heads: int
-    window: Window
+    window: Window                 # clipped to the input dims
+    full_window: Window = (8, 7, 7)  # configured window (sizes the table)
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas: bool = False   # fused kernel (kernels/window_attention.py)
@@ -124,12 +125,16 @@ class WindowAttention3D(nn.Module):
         qkv = Linear(3 * c, xavier=False, name="qkv")(x)
         qkv = qkv.reshape(bn, n, 3, h, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]                    # (bn, h, n, d)
-        table_size = ((2 * self.window[0] - 1) * (2 * self.window[1] - 1)
-                      * (2 * self.window[2] - 1))
+        # the table is ALWAYS sized to the full configured window and the
+        # pair index subset to the clipped token count ([:n, :n]) — exactly
+        # torchvision's scheme, so pretrained tables convert at any clip size
+        table_size = ((2 * self.full_window[0] - 1)
+                      * (2 * self.full_window[1] - 1)
+                      * (2 * self.full_window[2] - 1))
         bias_table = self.param("rel_pos_bias",
                                 nn.initializers.truncated_normal(0.02),
                                 (table_size, h))
-        idx = _relative_position_index(self.window).reshape(-1)
+        idx = _relative_position_index(self.full_window)[:n, :n].reshape(-1)
         bias = bias_table[idx].reshape(n, n, h).transpose(2, 0, 1)
         if self.use_pallas and self.attn_drop == 0.0:
             from ...kernels.window_attention import window_attention
@@ -197,6 +202,7 @@ class SwinBlock3D(nn.Module):
             mask = None
         windows = window_partition(x, window)
         attn = WindowAttention3D(self.dim, self.num_heads, window,
+                                 full_window=self.window,
                                  use_pallas=self.use_pallas,
                                  name="attn")(windows, mask, det)
         x = window_reverse(attn, window, b, tp, hp, wp)
@@ -222,7 +228,9 @@ class PatchMerging3D(nn.Module):
         if h % 2 or w % 2:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2), (0, 0)))
             _, _, h, w, _ = x.shape
-        parts = [x[:, :, i::2, j::2] for i in (0, 1) for j in (0, 1)]
+        # torchvision neighbor order: (h, w) offsets (0,0),(1,0),(0,1),(1,1)
+        # (swin PatchMerging x0..x3) — weight converters depend on it
+        parts = [x[:, :, i::2, j::2] for j in (0, 1) for i in (0, 1)]
         x = jnp.concatenate(parts, axis=-1)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return Linear(2 * self.dim, use_bias=False, xavier=False,
@@ -243,7 +251,12 @@ class Swin3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # patch embed
+        # patch embed: torchvision pads T/H/W up to a patch multiple first
+        # (PatchEmbed3d) — at WiMANS dims T=45 this keeps token counts equal
+        pads = [(-s) % p for s, p in zip(x.shape[1:4], self.patch)]
+        if any(pads):
+            x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]),
+                            (0, pads[2]), (0, 0)))
         x = nn.Conv(self.embed_dim, self.patch, strides=self.patch,
                     padding="VALID", name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)

@@ -1,0 +1,60 @@
+"""Torchvision-checkpoint converter tests for the video backbones.
+
+Structural: a synthetic state-dict with torchvision's exact key names and
+shapes (generated from the torch replicas in tools/torch_video_refs.py)
+must map into the flax init tree leaf-for-leaf, strictly (no unconsumed
+keys, no unfilled leaves). Numerical: weight-transplant parity — flax
+forward with converted weights == torch replica forward (VERDICT r1 items
+2-3; CSI analogue in tests/test_torch_parity.py).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+torch = pytest.importorskip("torch")
+
+from convert_torchvision import CONVERTERS, verify_against_model  # noqa: E402
+from torch_video_refs import S3DRef, Swin3DRef  # noqa: E402
+from video_parity_check import check, randomize_  # noqa: E402
+
+
+def _replica(arch):
+    return {
+        "s3d": lambda: S3DRef(),
+        "swin3d_t": lambda: Swin3DRef(depths=(2, 2, 6, 2)),
+        "swin3d_s": lambda: Swin3DRef(depths=(2, 2, 18, 2)),
+    }[arch]()
+
+
+@pytest.mark.parametrize("arch", ["s3d", "swin3d_t", "swin3d_s"])
+def test_converter_structural(arch):
+    state = _replica(arch).state_dict()
+    params, stats = CONVERTERS[arch](state, 54)
+    assert verify_against_model(params, stats, arch)
+
+
+@pytest.mark.parametrize("arch", ["s3d", "swin3d_t"])
+def test_converter_numerical_parity(arch):
+    # small clip that still exercises stride/pad/shift paths end to end
+    rel = check(arch, shape=(1, 3, 8, 64, 64), tol=2e-4)
+    assert rel < 2e-4
+
+
+def test_converter_strict_on_leftover_keys():
+    state = _replica("s3d").state_dict()
+    state["features.0.0.0.bogus_extra"] = torch.zeros(1)
+    with pytest.raises(ValueError, match="not consumed"):
+        CONVERTERS["s3d"](state, 54)
+
+
+def test_converter_strict_on_missing_keys():
+    state = _replica("s3d").state_dict()
+    del state["features.15.branch2.1.1.0.weight"]
+    with pytest.raises(KeyError, match="missing expected key"):
+        CONVERTERS["s3d"](state, 54)
