@@ -19,31 +19,59 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 
 torch = pytest.importorskip("torch")
 
-from convert_torchvision import CONVERTERS, verify_against_model  # noqa: E402
-from torch_video_refs import S3DRef, Swin3DRef  # noqa: E402
+from convert_torchvision import (CONVERTERS, resize_mvit_tables,  # noqa: E402
+                                 verify_against_model)
+from torch_video_refs import (MViTRef, R3D18Ref, S3DRef,  # noqa: E402
+                              Swin3DRef)
 from video_parity_check import check, randomize_  # noqa: E402
 
 
 def _replica(arch):
     return {
+        "r3d_18": lambda: R3D18Ref(),
         "s3d": lambda: S3DRef(),
         "swin3d_t": lambda: Swin3DRef(depths=(2, 2, 6, 2)),
         "swin3d_s": lambda: Swin3DRef(depths=(2, 2, 18, 2)),
+        "mvit_v1_b": lambda: MViTRef("v1", spatial_size=(64, 64),
+                                     temporal_size=8),
+        "mvit_v2_s": lambda: MViTRef("v2", spatial_size=(64, 64),
+                                     temporal_size=8),
     }[arch]()
 
 
-@pytest.mark.parametrize("arch", ["s3d", "swin3d_t", "swin3d_s"])
+@pytest.mark.parametrize("arch", ["r3d_18", "s3d", "swin3d_t", "swin3d_s",
+                                  "mvit_v1_b", "mvit_v2_s"])
 def test_converter_structural(arch):
     state = _replica(arch).state_dict()
     params, stats = CONVERTERS[arch](state, 54)
     assert verify_against_model(params, stats, arch)
 
 
-@pytest.mark.parametrize("arch", ["s3d", "swin3d_t"])
+@pytest.mark.parametrize("arch", ["r3d_18", "s3d", "swin3d_t",
+                                  "mvit_v2_s"])
 def test_converter_numerical_parity(arch):
     # small clip that still exercises stride/pad/shift paths end to end
     rel = check(arch, shape=(1, 3, 8, 64, 64), tol=2e-4)
     assert rel < 2e-4
+
+
+def test_mvit_table_resize_to_new_clip():
+    """A 8x64x64 v2 checkpoint resized for 12x96x96 clips must initialize
+    the flax model at the new size (offline analogue of torchvision's
+    runtime rel-pos interpolation)."""
+    state = _replica("mvit_v2_s").state_dict()
+    params, stats = CONVERTERS["mvit_v2_s"](state, 54)
+    params = resize_mvit_tables(params, "v2", (12, 96, 96))
+    import jax
+    import jax.numpy as jnp
+    from convert_torchvision import build_model
+    model = build_model("mvit_v2_s", 54)
+    ref = model.init({"params": jax.random.PRNGKey(0)},
+                     jnp.zeros((1, 12, 96, 96, 3)), train=False)
+    shapes = jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), params)
+    want = jax.tree_util.tree_map(lambda x: tuple(np.shape(x)),
+                                  ref["params"])
+    assert shapes == want
 
 
 def test_converter_strict_on_leftover_keys():

@@ -61,10 +61,16 @@ def test_mvit_v1_and_v2_shapes():
 
 
 def test_mvit_resolution_schedule():
-    # channel dims double per stage: 96 -> 192 -> 384 -> 768
+    # channel dims double per stage: 96 -> 192 -> 384 -> 768 (v1 widens in
+    # the MLP of the last block of a stage; skip projected at norm2)
     x = jnp.ones((B, T, H, W, 3))
     model = V.mvit_v1_b(out_features=5)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     p = variables["params"]
-    assert p["stage1_block0"]["skip_proj"]["kernel"].shape == (96, 192)
+    assert p["block0"]["project"]["kernel"].shape == (96, 192)
+    assert p["block2"]["project"]["kernel"].shape == (192, 384)
+    assert p["block13"]["project"]["kernel"].shape == (384, 768)
     assert p["fc"]["kernel"].shape[0] == 768
+    # pooling attention: Q pooled only at stage transitions (blocks 1/3/14)
+    assert "pool_q" in p["block1"]["attn"]
+    assert "pool_q" not in p["block0"]["attn"]

@@ -260,6 +260,138 @@ def convert_swin3d(state: dict, out_features: int = 54,
     return params, {}
 
 
+def _pool(sd: StateDict, src: str) -> dict:
+    """torchvision Pool (depthwise conv + LayerNorm at norm_act.0) ->
+    flax PoolConv {conv: {kernel}, norm: {scale, bias}}."""
+    return {"conv": {"kernel": _conv(sd.take(f"{src}.pool.weight"))},
+            "norm": _ln(sd, f"{src}.norm_act.0")}
+
+
+def _interp_table_np(table: np.ndarray, dst: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) on dim 0."""
+    src = table.shape[0]
+    if src == dst:
+        return table
+    pos = np.clip((np.arange(dst) + 0.5) * (src / dst) - 0.5, 0, src - 1)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, src - 1)
+    frac = (pos - i0)[:, None].astype(table.dtype)
+    return table[i0] * (1 - frac) + table[i1] * frac
+
+
+def resize_mvit_tables(params: dict, variant: str,
+                       target_clip) -> dict:
+    """Adapt a converted MViT tree to a different clip size (T, H, W).
+
+    v2: linearly interpolate each block's decomposed rel-pos tables to the
+    target sizes — torchvision does this at runtime (_add_rel_pos); flax
+    shapes are static under jit, so it happens once, offline. v1: absolute
+    pos tables are re-initialized fresh at the target size, exactly what the
+    reference does (mvit_v1.py:36-45 rebuilds PositionalEncoding).
+    """
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_video_refs import _mvit_block_settings
+
+    t, h, w = target_clip
+    # conv_proj kernel (3,7,7) stride (2,4,4) pad (1,3,3) output dims
+    tt, hh, ww = (t - 1) // 2 + 1, (h - 1) // 4 + 1, (w - 1) // 4 + 1
+    if variant == "v1":
+        c = params["class_token"].shape[0]
+        rng = np.random.default_rng(1)
+        std = 0.02
+        params["spatial_pos"] = (rng.standard_normal((hh * ww, c)) * std
+                                 ).astype(np.float32)
+        params["temporal_pos"] = (rng.standard_normal((tt, c)) * std
+                                  ).astype(np.float32)
+        params["class_pos"] = (rng.standard_normal((c,)) * std
+                               ).astype(np.float32)
+        return params
+    size = [tt, hh, ww]
+    for i, cfg in enumerate(_mvit_block_settings(variant)):
+        attn = params[f"block{i}"]["attn"]
+        sp = max(size[1], size[2])
+        rel_sp = 2 * max(sp // cfg[3][1], sp // cfg[4][1]) - 1
+        attn["rel_pos_h"] = _interp_table_np(np.asarray(attn["rel_pos_h"]),
+                                             rel_sp)
+        attn["rel_pos_w"] = _interp_table_np(np.asarray(attn["rel_pos_w"]),
+                                             rel_sp)
+        attn["rel_pos_t"] = _interp_table_np(np.asarray(attn["rel_pos_t"]),
+                                             2 * size[0] - 1)
+        if cfg[5]:
+            size = [s // st for s, st in zip(size, cfg[3])]
+    return params
+
+
+def convert_mvit(state: dict, out_features: int = 54, variant: str = "v1"):
+    """torchvision ``mvit_v1_b``/``mvit_v2_s`` state_dict -> (params, {}).
+
+    Source layout: conv_proj, pos_encoding.{class_token,spatial_pos,
+    temporal_pos,class_pos}, blocks.{0..15} MultiscaleBlock (attn.qkv,
+    attn.pool_{q,k,v}.{pool,norm_act.0}, attn.project.0, attn.rel_pos_{h,w,t}
+    for v2, block project, mlp.0/mlp.3), norm, head.1
+    (reference backbones: benchmark/video/model/mvit_v1.py:33-45,
+    mvit_v2.py:33-45; v1 pos encoding is rebuilt per clip size there).
+    """
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_video_refs import _mvit_block_settings
+
+    sd = StateDict(state)
+    params: dict = {}
+    params["conv_proj"] = {"kernel": _conv(sd.take("conv_proj.weight")),
+                           "bias": sd.take("conv_proj.bias")}
+    params["class_token"] = sd.take("pos_encoding.class_token")
+    if variant == "v1":
+        params["spatial_pos"] = sd.take("pos_encoding.spatial_pos")
+        params["temporal_pos"] = sd.take("pos_encoding.temporal_pos")
+        params["class_pos"] = sd.take("pos_encoding.class_pos")
+
+    for i, cfg in enumerate(_mvit_block_settings(variant)):
+        src = f"blocks.{i}"
+        attn: dict = {
+            "qkv": _dense(sd, f"{src}.attn.qkv"),
+            "project": _dense(sd, f"{src}.attn.project.0"),
+            "pool_k": _pool(sd, f"{src}.attn.pool_k"),
+            "pool_v": _pool(sd, f"{src}.attn.pool_v"),
+        }
+        if cfg[5]:                                  # has_pool_q
+            attn["pool_q"] = _pool(sd, f"{src}.attn.pool_q")
+        if variant == "v2":
+            for axis in ("h", "w", "t"):
+                attn[f"rel_pos_{axis}"] = sd.take(
+                    f"{src}.attn.rel_pos_{axis}")
+        block = {
+            "norm1": _ln(sd, f"{src}.norm1"),
+            "attn": attn,
+            "norm2": _ln(sd, f"{src}.norm2"),
+            "mlp_up": _dense(sd, f"{src}.mlp.0"),
+            "mlp_down": _dense(sd, f"{src}.mlp.3"),
+        }
+        if cfg[0] != cfg[1]:                        # in_ch != out_ch
+            block["project"] = _dense(sd, f"{src}.project")
+        params[f"block{i}"] = block
+
+    params["norm"] = _ln(sd, "norm")
+    params["fc"] = _dense(sd, "head.1")
+    params["head"] = _task_head(out_features)
+    sd.finish()
+    return params, {}
+
+
+def mvit_input_shape(params: dict, variant: str):
+    """Infer the (B, T, H, W, 3) input the converted tree was trained at —
+    v1 from the absolute pos tables, v2 from block0's rel_pos tables."""
+    if variant == "v1":
+        t = params["temporal_pos"].shape[0]
+        hw = params["spatial_pos"].shape[0]
+        s = int(round(hw ** 0.5))
+    else:
+        t = (params["block0"]["attn"]["rel_pos_t"].shape[0] + 1) // 2
+        s = (params["block0"]["attn"]["rel_pos_h"].shape[0] + 1) // 2
+    return (1, 2 * t, 4 * s, 4 * s, 3)
+
+
 def build_model(arch: str, out_features: int = 54):
     """The flax model an `arch` checkpoint converts into."""
     from multi_modal_csi_tpu.models.video import (mvit, resnet3d, s3d,
@@ -279,6 +411,8 @@ CONVERTERS = {
     "s3d": lambda sd, out: convert_s3d(sd, out),
     "swin3d_t": lambda sd, out: convert_swin3d(sd, out, depths=(2, 2, 6, 2)),
     "swin3d_s": lambda sd, out: convert_swin3d(sd, out, depths=(2, 2, 18, 2)),
+    "mvit_v1_b": lambda sd, out: convert_mvit(sd, out, "v1"),
+    "mvit_v2_s": lambda sd, out: convert_mvit(sd, out, "v2"),
 }
 
 
@@ -302,9 +436,16 @@ def verify_against_model(params, stats, arch: str = "r3d_18",
     """Structural check: the converted tree exactly matches the flax init
     tree (params AND batch_stats) of the target model."""
     import jax
+    import jax.numpy as jnp
     model = build_model(arch, out_features)
-    ref = model.init({"params": jax.random.PRNGKey(0)},
-                     _example_input(arch), train=False)
+    if arch.startswith("mvit"):
+        # mvit pos/rel tables are sized by clip dims: init at the size the
+        # checkpoint was trained at (inferred from the converted tree)
+        example = jnp.zeros(mvit_input_shape(params, arch[5:7]))
+    else:
+        example = _example_input(arch)
+    ref = model.init({"params": jax.random.PRNGKey(0)}, example,
+                     train=False)
     shape = lambda t: jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
     ok = shape(ref["params"]) == shape(params)
     if "batch_stats" in ref or stats:
@@ -316,15 +457,22 @@ if __name__ == "__main__":
     import torch
     from multi_modal_csi_tpu.core.checkpoint import save_components
 
-    if len(sys.argv) != 4 or sys.argv[1] not in CONVERTERS:
+    if len(sys.argv) not in (4, 5) or sys.argv[1] not in CONVERTERS:
         raise SystemExit(
-            f"usage: convert_torchvision.py <arch> src.pth out.msgpack\n"
-            f"archs: {' '.join(sorted(CONVERTERS))}")
+            "usage: convert_torchvision.py <arch> src.pth out.msgpack "
+            "[T,H,W]\n"
+            f"archs: {' '.join(sorted(CONVERTERS))}\n"
+            "T,H,W (mvit only): resize pos/rel tables to this clip size")
     arch, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     state = torch.load(src, map_location="cpu", weights_only=True)
     if hasattr(state, "state_dict"):
         state = state.state_dict()
     params, stats = CONVERTERS[arch](state, 54)
+    if len(sys.argv) == 5:
+        if not arch.startswith("mvit"):
+            raise SystemExit("clip-size resize only applies to mvit archs")
+        clip = tuple(int(v) for v in sys.argv[4].split(","))
+        params = resize_mvit_tables(params, arch[5:7], clip)
     assert verify_against_model(params, stats, arch), "structure mismatch"
     save_components(dst, params, stats)
     print(f"converted {arch}: {src} -> {dst}")

@@ -63,12 +63,17 @@ def check(arch: str, shape=(2, 3, 8, 64, 64), tol=2e-4, seed=0) -> float:
     import torch
 
     from convert_torchvision import CONVERTERS
-    from torch_video_refs import S3DRef, Swin3DRef
+    from torch_video_refs import MViTRef, R3D18Ref, S3DRef, Swin3DRef
 
+    # mvit replicas built at the parity clip size so pos/rel tables line up
+    sp, tt = (shape[3], shape[4]), shape[2]
     builders = {
+        "r3d_18": lambda: R3D18Ref(),
         "s3d": lambda: S3DRef(),
         "swin3d_t": lambda: Swin3DRef(depths=(2, 2, 6, 2)),
         "swin3d_s": lambda: Swin3DRef(depths=(2, 2, 18, 2)),
+        "mvit_v1_b": lambda: MViTRef("v1", spatial_size=sp, temporal_size=tt),
+        "mvit_v2_s": lambda: MViTRef("v2", spatial_size=sp, temporal_size=tt),
     }
     ref = builders[arch]()
     randomize_(ref, seed)
@@ -99,6 +104,7 @@ def check(arch: str, shape=(2, 3, 8, 64, 64), tol=2e-4, seed=0) -> float:
 
 
 if __name__ == "__main__":
-    targets = sys.argv[1:] or ["s3d", "swin3d_t", "swin3d_s"]
+    targets = sys.argv[1:] or ["r3d_18", "s3d", "swin3d_t", "swin3d_s",
+                               "mvit_v1_b", "mvit_v2_s"]
     for t in targets:
         check(t)
