@@ -142,7 +142,12 @@ def load_clips(cache_dir: str, labels: Sequence[str],
 
 
 class ClipDataset:
-    """Lazy cached-clip access (reference VideoDataset, video/load_data.py:20-61)."""
+    """Lazy cached-clip access (reference VideoDataset, video/load_data.py:20-61).
+
+    Host memory stays O(1) per lookup — the training/eval loops stream
+    through `prefetch_batches`, never materializing the clip set
+    (the reference trains the same way: lazy dataset + DataLoader workers,
+    video/train.py:47,134)."""
 
     def __init__(self, cache_dir: str, labels: Sequence[str], y: np.ndarray,
                  frame_stride: int = 1):
@@ -159,32 +164,64 @@ class ClipDataset:
                                  f"{self.labels[i]}.npy"))[::self.stride]
         return x, self.y[i]
 
+    def example(self) -> np.ndarray:
+        """(1, T, H, W, 3) shape/dtype probe for model init."""
+        return self[0][0][None]
+
     def batch(self, idx: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
         xs = np.stack([self[i][0] for i in idx])
         return xs, self.y[np.asarray(idx)]
 
 
-def prefetch_batches(dataset: ClipDataset, index_matrix: np.ndarray,
-                     num_workers: int = 4, prefetch: int = 2):
-    """Background-threaded batch iterator over a ClipDataset.
+class ArrayClips:
+    """In-memory dataset with the ClipDataset interface — used when callers
+    already hold (x, y) arrays (tests, small sweeps)."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray):
+        self.x = x
+        self.y = y
+
+    def __len__(self):
+        return self.x.shape[0]
+
+    def example(self) -> np.ndarray:
+        return self.x[:1]
+
+    def batch(self, idx: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
+        idx = np.asarray(idx)
+        return self.x[idx], self.y[idx]
+
+
+def prefetch_batches(dataset, index_matrix, num_workers: int = 4,
+                     prefetch: int = 2):
+    """Background-threaded ORDERED batch iterator with bounded memory.
 
     The host-side equivalent of the reference's DataLoader(num_workers=4)
-    (video/train.py:47): worker threads assemble the next batches while the
-    device computes on the current one.
+    (video/train.py:47): workers assemble upcoming batches while the device
+    computes on the current one. At most `prefetch` finished batches wait in
+    the queue and at most `prefetch + num_workers` loads are in flight, so
+    host memory is O((prefetch + num_workers) * batch) regardless of
+    dataset size.
     """
     import queue
     import threading
+    from collections import deque
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = object()
 
     def producer():
         try:
+            pending: deque = deque()
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
-                futures = [pool.submit(dataset.batch, row)
-                           for row in index_matrix]
-                for f in futures:
-                    q.put(f.result())
+                for row in index_matrix:
+                    pending.append(pool.submit(dataset.batch, row))
+                    if len(pending) > prefetch + num_workers:
+                        q.put(pending.popleft().result())  # backpressure
+                while pending:
+                    q.put(pending.popleft().result())
+        except BaseException as exc:  # a worker failure must NOT silently
+            q.put(exc)                # truncate the epoch — re-raised below
         finally:
             q.put(stop)
 
@@ -194,4 +231,6 @@ def prefetch_batches(dataset: ClipDataset, index_matrix: np.ndarray,
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -7,6 +7,21 @@ Mirrors benchmark/video/run.py:37-99 + video/train.py:19-176:
   - per-epoch: train over all batches, then FULL evaluation on train AND test
     sets; best weights by test subset-accuracy alone;
   - optional warm-start/save via cfg.path.save_model.
+
+STREAMING: training and eval consume a lazy ClipDataset through
+prefetch_batches (data/video_io.py) — the counterpart of the reference's
+VideoDataset + DataLoader(num_workers=4) (video/load_data.py:20-61,
+video/train.py:47,134). Host memory is bounded by
+O((prefetch + workers) x batch), never the clip set (11,286 WiMANS clips
+x ~27 MB would be ~300 GB materialized).
+
+Documented divergence: training uses n // batch_size FULL batches per epoch
+(static shapes, one compiled step), whereas the reference's DataLoader also
+trains on the partial final batch (drop_last=False). Eval covers every
+sample in both (the tail eval chunk is zero-padded and the padding sliced
+off). At WiMANS scale the dropped tail is < 1 batch per epoch under a
+reshuffled permutation each epoch, so every sample still trains with
+probability 1 over epochs.
 """
 
 from __future__ import annotations
@@ -25,11 +40,11 @@ from ..core.checkpoint import load_components, save_components
 from ..core.config import Config
 from ..data.annotation import filter_annotation, label_list, load_annotation
 from ..data.encoders import encode_labels
-from ..data.pipeline import device_batches, epoch_batches
-from ..data.video_io import load_clips
+from ..data.pipeline import epoch_batches, pad_to
+from ..data.video_io import ArrayClips, ClipDataset, prefetch_batches
 from ..losses.basic import bce_with_logits
 from ..models import video as video_models
-from ..train.loop import adam_like_torch, eval_dataset, make_eval_fn
+from ..train.loop import adam_like_torch, make_eval_fn
 from ..utils.complexity import complexity_report
 
 VIDEO_MODELS: Dict[str, Callable[[int], Any]] = {
@@ -42,41 +57,64 @@ VIDEO_MODELS: Dict[str, Callable[[int], Any]] = {
 }
 
 
-def load_video_data(cfg: Config) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def load_video_data(cfg: Config) -> Tuple[ClipDataset, ClipDataset]:
+    """Lazy train/test ClipDatasets over the preprocessed cache dir."""
     df = load_annotation(cfg.path.data_y)
     df = filter_annotation(df, environment=cfg.data.environment,
                            num_users=cfg.data.num_users)
     tr_df, te_df = train_test_split(df, test_size=0.2, shuffle=True,
                                     random_state=39)
-    x_tr = load_clips(cfg.path.video_pre_x, label_list(tr_df),
-                      cfg.data.frame_stride)
-    x_te = load_clips(cfg.path.video_pre_x, label_list(te_df),
-                      cfg.data.frame_stride)
     y_tr = encode_labels(tr_df, cfg.task, cfg.encoding_activity,
                          cfg.encoding_location)
     y_te = encode_labels(te_df, cfg.task, cfg.encoding_activity,
                          cfg.encoding_location)
-    return x_tr, x_te, y_tr, y_te
+    train = ClipDataset(cfg.path.video_pre_x, label_list(tr_df),
+                        y_tr.reshape(y_tr.shape[0], -1),
+                        cfg.data.frame_stride)
+    test = ClipDataset(cfg.path.video_pre_x, label_list(te_df),
+                       y_te.reshape(y_te.shape[0], -1),
+                       cfg.data.frame_stride)
+    return train, test
 
 
-def _evaluate(forward, params, batch_stats, x, y_flat, threshold, chunk=16):
-    logits = eval_dataset(forward, params, batch_stats, x, chunk=chunk)
+def _eval_rows(n: int, chunk: int) -> list:
+    return [np.arange(s, min(s + chunk, n)) for s in range(0, n, chunk)]
+
+
+def _evaluate(forward, params, batch_stats, dataset, threshold, chunk=16,
+              num_workers: int = 4):
+    """Streaming full-dataset eval: every sample scored (tail chunk padded
+    on device input, padding sliced off the logits)."""
+    n = len(dataset)
+    chunk = min(chunk, max(1, n))
+    outs = []
+    for bx, _ in prefetch_batches(dataset, _eval_rows(n, chunk),
+                                  num_workers=num_workers):
+        size = bx.shape[0]
+        out = np.asarray(forward(params, batch_stats, pad_to(bx, chunk)))
+        outs.append(out[:size])
+    logits = np.concatenate(outs, axis=0)
+    y_flat = dataset.y
     pred = (1 / (1 + np.exp(-logits)) > threshold).astype(int)
     acc = accuracy_score(y_flat.astype(int),
                          pred.reshape(-1, y_flat.shape[-1]))
     return acc, pred, logits
 
 
-def fit_video(model, x_tr, y_tr_flat, x_te, y_te_flat, *, lr: float,
+def fit_video(model, train_ds, test_ds, *, lr: float,
               epochs: int, batch_size: int, seed: int, threshold: float,
-              init_variables=None, verbose: bool = True):
-    """Video engine (video/train.py:19-103): best weights by test accuracy."""
+              init_variables=None, verbose: bool = True,
+              num_workers: int = 4):
+    """Video engine (video/train.py:19-103): best weights by test accuracy.
+
+    train_ds/test_ds: ClipDataset (streaming) or ArrayClips (in-memory).
+    """
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
     init_rng, rng = jax.random.split(rng)
     if init_variables is None:
         variables = model.init({"params": init_rng},
-                               jnp.asarray(x_tr[:1]), train=False)
+                               jnp.asarray(train_ds.example()), train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
     else:
@@ -100,21 +138,27 @@ def fit_video(model, x_tr, y_tr_flat, x_te, y_te_flat, *, lr: float,
     forward = make_eval_fn(model)
     best_acc = 0.0
     best = (jax.device_get(params), jax.device_get(batch_stats))
-    n = x_tr.shape[0]
+    n = len(train_ds)
     for epoch in range(epochs):
         t0 = time.time()
-        # all-full batches; partial tail dropped for static shapes
+        # all-full batches; partial tail dropped for static shapes (see
+        # module docstring: documented divergence from DataLoader's
+        # drop_last=False)
         idx = epoch_batches(n, batch_size, np_rng, skip_last=False)
         loss = jnp.zeros(())
-        for bx, by in device_batches(x_tr, y_tr_flat, idx):
+        for bx, by in prefetch_batches(train_ds, idx,
+                                       num_workers=num_workers):
             rng, srng = jax.random.split(rng)
             params, batch_stats, opt_state, loss = step(
-                params, batch_stats, opt_state, bx, by, srng)
-        train_acc, _, _ = _evaluate(forward, params, batch_stats, x_tr,
-                                    y_tr_flat, threshold, chunk=batch_size)
+                params, batch_stats, opt_state, jnp.asarray(bx),
+                jnp.asarray(by), srng)
+        train_acc, _, _ = _evaluate(forward, params, batch_stats, train_ds,
+                                    threshold, chunk=batch_size,
+                                    num_workers=num_workers)
         test_acc, _, test_logits = _evaluate(forward, params, batch_stats,
-                                             x_te, y_te_flat, threshold,
-                                             chunk=batch_size)
+                                             test_ds, threshold,
+                                             chunk=batch_size,
+                                             num_workers=num_workers)
         if verbose:
             print(f"Epoch {epoch}/{epochs} - {time.time() - t0:.3f}s "
                   f"- Loss {float(loss):.6f} - Accuracy {train_acc:.6f} "
@@ -131,18 +175,19 @@ def run_video_model(cfg: Config,
     if cfg.model not in VIDEO_MODELS:
         raise ValueError(f"unknown video model: {cfg.model}")
     if data is None:
-        x_tr, x_te, y_tr, y_te = load_video_data(cfg)
-    else:
+        train_ds, test_ds = load_video_data(cfg)
+    else:  # in-memory arrays (tests/sweeps): (x_tr, x_te, y_tr, y_te)
         x_tr, x_te, y_tr, y_te = data
-    y_tr_flat = y_tr.reshape(y_tr.shape[0], -1)
-    y_te_flat = y_te.reshape(y_te.shape[0], -1)
-    out_dim = y_tr_flat.shape[-1]
+        train_ds = ArrayClips(x_tr, y_tr.reshape(y_tr.shape[0], -1))
+        test_ds = ArrayClips(x_te, y_te.reshape(y_te.shape[0], -1))
+    y_te_flat = test_ds.y
+    out_dim = train_ds.y.shape[-1]
 
     result: Dict[str, Any] = {}
     accuracies, times_train, times_test = [], [], []
 
     model0 = VIDEO_MODELS[cfg.model](out_dim)
-    ex = jnp.asarray(x_tr[:1])
+    ex = jnp.asarray(train_ds.example())
     v0 = model0.init({"params": jax.random.PRNGKey(0)}, ex, train=False)
     result["complexity"] = complexity_report(model0, v0, ex)
 
@@ -158,14 +203,14 @@ def run_video_model(cfg: Config,
             except FileNotFoundError:
                 pass
         t0 = time.time()
-        best, _ = fit_video(model, x_tr, y_tr_flat, x_te, y_te_flat,
+        best, _ = fit_video(model, train_ds, test_ds,
                             lr=cfg.nn.lr, epochs=cfg.nn.epoch,
                             batch_size=cfg.nn.batch_size, seed=r + 39,
                             threshold=cfg.nn.threshold,
                             init_variables=init_variables)
         t1 = time.time()
         forward = make_eval_fn(model)
-        acc, pred, _ = _evaluate(forward, best[0], best[1], x_te, y_te_flat,
+        acc, pred, _ = _evaluate(forward, best[0], best[1], test_ds,
                                  cfg.nn.threshold, chunk=cfg.nn.batch_size)
         result[f"repeat_{r}"] = classification_report(
             y_te_flat.astype(int), pred, digits=6, zero_division=0,

@@ -82,3 +82,79 @@ def test_prefetch_batches(tmp_path):
     bx, by = batches[1]
     assert bx.shape == (2, 4, 8, 8, 3)
     np.testing.assert_array_equal(by, [2, 3])
+
+
+def test_video_training_streams_with_bounded_memory(tmp_path):
+    """fit_video trains 2 epochs from a 200-clip cache dir while holding at
+    most O(prefetch + workers) batches in host memory, and eval streams over
+    every sample including the partial tail chunk (VERDICT r1 item 4)."""
+    import threading
+
+    from multi_modal_csi_tpu.models import video as V
+    import multi_modal_csi_tpu.runners.video as rv
+    from multi_modal_csi_tpu.runners.video import _evaluate, fit_video
+    from multi_modal_csi_tpu.train.loop import make_eval_fn
+
+    rng = np.random.default_rng(0)
+    n = 202                      # not divisible by the batch size: tail path
+    labels = [f"clip{i}" for i in range(n)]
+    for label in labels:
+        np.save(tmp_path / f"{label}.npy",
+                rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    y = rng.integers(0, 2, size=(n, 6)).astype(np.int64)
+
+    class CountingDataset(ClipDataset):
+        """Tracks batches buffered inside the loader (produced - consumed)."""
+
+        def __init__(self, *a):
+            super().__init__(*a)
+            self.live = 0
+            self.max_live = 0
+            self.loads = 0
+            self._lock = threading.Lock()
+
+        def batch(self, idx):
+            out = super().batch(idx)
+            with self._lock:
+                self.loads += 1
+                self.live += 1
+                self.max_live = max(self.max_live, self.live)
+            return out
+
+        def consumed(self):
+            with self._lock:
+                self.live -= 1
+
+    train = CountingDataset(str(tmp_path), labels, y, 1)
+    test = CountingDataset(str(tmp_path), labels[:30], y[:30], 1)
+
+    orig_prefetch = rv.prefetch_batches
+
+    def counted_prefetch(ds, idx, **kw):
+        for item in orig_prefetch(ds, idx, **kw):
+            yield item
+            if isinstance(ds, CountingDataset):
+                ds.consumed()
+
+    rv.prefetch_batches = counted_prefetch
+    try:
+        model = V.ResNet3D18(out_features=6)
+        best, best_acc = fit_video(model, train, test, lr=1e-3, epochs=2,
+                                   batch_size=8, seed=39, threshold=0.5,
+                                   verbose=False)
+    finally:
+        rv.prefetch_batches = orig_prefetch
+    assert 0.0 <= best_acc <= 1.0
+    # 2 epochs x (25 train batches + 26 train-eval + 4 test-eval chunks)
+    assert train.loads >= 2 * (25 + 26)
+    # bounded: (prefetch + workers + 1) in-flight futures + prefetch queued
+    # + 1 being consumed + 1 in transit = 11 << the 25+ batches of a
+    # materialized epoch
+    assert train.max_live <= (2 + 4 + 1) + 2 + 1 + 1, train.max_live
+
+    # eval covers every sample (tail chunk padded+sliced, order preserved)
+    forward = make_eval_fn(model)
+    acc, pred, logits = _evaluate(forward, best[0], best[1], train, 0.5,
+                                  chunk=8)
+    assert logits.shape[0] == n
+    assert pred.shape[0] == n
