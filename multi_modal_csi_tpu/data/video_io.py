@@ -65,21 +65,64 @@ def decode_video(path: str) -> np.ndarray:
     return np.stack(frames)
 
 
-def apply_transform(frames: np.ndarray, tf: VideoTransform) -> np.ndarray:
-    """uint8 (T, H, W, 3) -> normalized float32 (T, cropH, cropW, 3)."""
+def _resize_dims(h: int, w: int, resize) -> Tuple[int, int]:
+    """Target dims, matching torchvision F.resize exactly: short-side mode
+    computes the long side as int(size * long / short) (truncation, not
+    rounding — torchvision _compute_resized_output_size)."""
+    if resize[1] != -1:
+        return resize
+    size = resize[0]
+    short, long = (h, w) if h <= w else (w, h)
+    new_short, new_long = size, int(size * long / short)
+    return (new_short, new_long) if h <= w else (new_long, new_short)
+
+
+def _resize_torch(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """torchvision's uint8 tensor resize: cast to float, bilinear
+    (antialias=False, half-pixel centers), round, clamp back to uint8 —
+    the exact path the reference's VideoClassification preset runs
+    (video/preprocess.py:32-48 with torchvision 0.15 / torch 2.0)."""
+    import torch
+    t = torch.from_numpy(frames).permute(0, 3, 1, 2).float()
+    r = torch.nn.functional.interpolate(t, size=(new_h, new_w),
+                                        mode="bilinear",
+                                        align_corners=False, antialias=False)
+    return r.round_().clamp_(0, 255).to(torch.uint8) \
+        .permute(0, 2, 3, 1).numpy()
+
+
+def _resize_cv2(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     import cv2
+    return np.stack([cv2.resize(f, (new_w, new_h),
+                                interpolation=cv2.INTER_LINEAR)
+                     for f in frames])
+
+
+def apply_transform(frames: np.ndarray, tf: VideoTransform,
+                    backend: Optional[str] = None) -> np.ndarray:
+    """uint8 (T, H, W, 3) -> normalized float32 (T, cropH, cropW, 3).
+
+    backend "torch" (default when torch is importable) reproduces the
+    reference's torchvision preset bit-for-bit at the uint8 stage; "cv2"
+    is a dependency-light fallback whose fixed-point bilinear differs by
+    at most 1 LSB per pixel (measured divergence recorded in BASELINE.md;
+    golden fixtures in tests/test_video_pipeline.py).
+    """
+    if backend is None:
+        try:
+            import torch  # noqa: F401
+            backend = "torch"
+        except ImportError:
+            backend = "cv2"
     t, h, w, _ = frames.shape
-    if tf.resize[1] == -1:      # short-side resize
-        scale = tf.resize[0] / min(h, w)
-        new_h, new_w = int(round(h * scale)), int(round(w * scale))
-    else:
-        new_h, new_w = tf.resize
-    resized = np.stack([cv2.resize(f, (new_w, new_h),
-                                   interpolation=cv2.INTER_LINEAR)
-                        for f in frames])
+    new_h, new_w = _resize_dims(h, w, tf.resize)
+    resize = _resize_torch if backend == "torch" else _resize_cv2
+    resized = resize(frames, new_h, new_w)
     ch, cw = tf.crop
-    top = (new_h - ch) // 2
-    left = (new_w - cw) // 2
+    # torchvision center_crop rounds the offsets (crop top-left =
+    # round((H - ch) / 2)); // 2 would shift odd sizes by one pixel
+    top = int(round((new_h - ch) / 2.0))
+    left = int(round((new_w - cw) / 2.0))
     cropped = resized[:, top:top + ch, left:left + cw]
     out = cropped.astype(np.float32) / 255.0
     out = (out - np.asarray(tf.mean, np.float32)) / np.asarray(tf.std, np.float32)

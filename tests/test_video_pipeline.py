@@ -158,3 +158,52 @@ def test_video_training_streams_with_bounded_memory(tmp_path):
                                   chunk=8)
     assert logits.shape[0] == n
     assert pred.shape[0] == n
+
+
+def test_apply_transform_golden_torch_backend():
+    """Golden fixtures pinning the torch-exact transform path (torchvision
+    VideoClassification semantics: uint8 bilinear resize antialias=False,
+    rounded center crop, /255, normalize) — VERDICT r1 item 5."""
+    pytest.importorskip("torch")
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 255, size=(3, 30, 40, 3))
+    frames = np.repeat(np.repeat(small, 12, axis=1), 12,
+                       axis=2).astype(np.uint8)          # (3, 360, 480, 3)
+
+    out = apply_transform(frames, VIDEO_TRANSFORMS["ResNet"],
+                          backend="torch")
+    assert out.shape == (3, 112, 112, 3)
+    assert out.mean() == pytest.approx(0.42383108, abs=1e-6)
+    np.testing.assert_allclose(
+        out[0, :2, :3, 0],
+        [[1.5271332, 1.5271332, 1.5271332],
+         [2.2494323, 2.2494323, 2.2494323]], atol=1e-6)
+
+    out = apply_transform(frames, VIDEO_TRANSFORMS["Swin-T"],
+                          backend="torch")
+    assert out.shape == (3, 224, 224, 3)
+    assert out.mean() == pytest.approx(0.20016268, abs=1e-6)
+    np.testing.assert_allclose(
+        out[0, :2, :3, 0],
+        [[2.0262864, 1.7180408, 0.810429],
+         [-0.4054286, 0.21106265, 2.0091617]], atol=1e-6)
+
+    out = apply_transform(frames, VIDEO_TRANSFORMS["MViT-v1"],
+                          backend="torch")
+    assert out.mean() == pytest.approx(0.19573136, abs=1e-6)
+
+
+def test_apply_transform_cv2_within_one_lsb_of_torch():
+    """The cv2 fallback backend may differ from the torchvision-exact path
+    by at most 1 uint8 LSB per pixel (fixed-point bilinear rounding)."""
+    pytest.importorskip("torch")
+    pytest.importorskip("cv2")
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 255, size=(2, 24, 32, 3))
+    frames = np.repeat(np.repeat(small, 12, axis=1), 12,
+                       axis=2).astype(np.uint8)
+    for name, tf in VIDEO_TRANSFORMS.items():
+        a = apply_transform(frames, tf, backend="torch")
+        b = apply_transform(frames, tf, backend="cv2")
+        lsb = 1.0 / 255.0 / min(tf.std)
+        assert np.abs(a - b).max() <= lsb + 1e-6, name
