@@ -366,6 +366,16 @@ def run_csi_model(cfg: Config,
         times_train.append(t1 - t0)
         times_test.append(t2 - t1)
         if writer:
+            # per-repeat run-level summary (reference: detr.py:788-804 logs
+            # the final test metrics into each repeat's W&B run)
+            summary = {"summary/test_accuracy": float(accuracies[-1]),
+                       "summary/time_train": times_train[-1],
+                       "summary/time_test": times_test[-1]}
+            if spec.final_eval != "report" and last_metrics:
+                summary.update(
+                    {f"summary/{k}": float(v)
+                     for k, v in last_metrics.items() if np.isscalar(v)})
+            writer.log(summary)
             writer.finish()
 
     result["accuracy"] = {"avg": float(np.mean(accuracies)),
@@ -377,6 +387,15 @@ def run_csi_model(cfg: Config,
     if last_metrics:
         result["final_metrics"] = {k: v for k, v in last_metrics.items()
                                    if k != "counting_error_perPerson"}
+    if writer_factory:
+        # run-level aggregates over repeats (reference: detr.py:806-829
+        # logs avg/std accuracy + timing as a final W&B summary)
+        agg = writer_factory(f"{key}_aggregate")
+        agg.log({"aggregate/accuracy_avg": result["accuracy"]["avg"],
+                 "aggregate/accuracy_std": result["accuracy"]["std"],
+                 "aggregate/time_train_avg": result["time_train"]["avg"],
+                 "aggregate/time_test_avg": result["time_test"]["avg"]})
+        agg.finish()
     return result
 
 

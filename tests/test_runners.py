@@ -158,3 +158,37 @@ def test_identity_and_location_tasks(task, classes):
     split = int(n * 0.8)
     result = run_csi_model(cfg, data=(x[:split], x[split:], y[:split], y[split:]))
     assert 0.0 <= result["accuracy"]["avg"] <= 1.0
+
+
+def test_writer_receives_repeat_summaries_and_aggregates():
+    """Per-repeat summary metrics and run-level aggregates flow through the
+    MetricWriter (reference: detr.py:788-829 W&B summaries) — VERDICT r1
+    item 10."""
+    records = {}
+
+    class Capture:
+        def __init__(self, name):
+            self.name = name
+            records[name] = []
+
+        def log(self, metrics, step=None):
+            records[self.name].append(dict(metrics))
+
+        def finish(self):
+            pass
+
+    cfg = _tiny_cfg("MLP").override({"repeat": 2})
+    run_csi_model(cfg, data=_synth(), writer_factory=Capture)
+
+    per_repeat = [k for k in records if not k.endswith("_aggregate")]
+    assert len(per_repeat) == 2
+    for k in per_repeat:
+        summaries = [r for r in records[k] if "summary/test_accuracy" in r]
+        assert len(summaries) == 1
+        assert 0.0 <= summaries[0]["summary/test_accuracy"] <= 1.0
+    agg_keys = [k for k in records if k.endswith("_aggregate")]
+    assert len(agg_keys) == 1
+    agg = records[agg_keys[0]][0]
+    assert {"aggregate/accuracy_avg", "aggregate/accuracy_std",
+            "aggregate/time_train_avg",
+            "aggregate/time_test_avg"} <= set(agg)
