@@ -32,9 +32,16 @@ def _permutation_table(q: int) -> jnp.ndarray:
     if q > _MAX_ENUM_QUERIES:
         raise NotImplementedError(
             f"exact enumeration supports up to {_MAX_ENUM_QUERIES} queries; "
-            f"got {q} (plug in an auction solver for larger Q)")
+            f"got {q} (hungarian_assignment falls back to a host LAP solve)")
     return jnp.asarray(np.array(list(itertools.permutations(range(q))),
                                 dtype=np.int32))
+
+
+def _host_lap(cost: np.ndarray) -> np.ndarray:
+    """Batched scipy linear_sum_assignment on host: (B, Q, Q) -> (B, Q)."""
+    from scipy.optimize import linear_sum_assignment
+    cost = np.asarray(cost, dtype=np.float32)
+    return np.stack([linear_sum_assignment(c)[1] for c in cost]).astype(np.int32)
 
 
 def hungarian_assignment(cost: jnp.ndarray) -> jnp.ndarray:
@@ -44,8 +51,22 @@ def hungarian_assignment(cost: jnp.ndarray) -> jnp.ndarray:
     Returns col_ind: (B, Q) where row q is assigned to column col_ind[b, q],
     minimizing sum_q cost[b, q, col_ind[b, q]] (scipy linear_sum_assignment
     semantics; ties may resolve to a different — equally optimal — matching).
+
+    Q <= 8 (the reference's whole operating range; NUM_QUERIES defaults to 5,
+    config_modifier.py) is solved on device by exhaustive enumeration — a
+    single gather + argmin, no host sync. Larger Q falls back to a batched
+    scipy solve via jax.pure_callback: one host round trip per step, which is
+    still strictly better than the reference's per-SAMPLE scipy loop
+    (model/detr.py:532-544).
     """
     q = cost.shape[-1]
+    if q > _MAX_ENUM_QUERIES:
+        out_shape = jax.ShapeDtypeStruct(cost.shape[:-1], jnp.int32)
+        # the assignment itself is non-differentiable; cut the tangent before
+        # the callback so it composes with value_and_grad
+        cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+        return jax.pure_callback(_host_lap, out_shape, cost,
+                                 vmap_method="sequential")
     perms = _permutation_table(q)                        # (P, Q)
     # total[b, p] = sum_q cost[b, q, perms[p, q]]
     gathered = jnp.take_along_axis(

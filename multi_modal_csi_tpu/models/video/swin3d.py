@@ -115,10 +115,12 @@ class WindowAttention3D(nn.Module):
     full_window: Window = (8, 7, 7)  # configured window (sizes the table)
     attn_drop: float = 0.0
     proj_drop: float = 0.0
-    use_pallas: bool = False   # fused kernel (kernels/window_attention.py)
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, ids=None, deterministic: bool = True):
+        """ids: compact (nW, N) int32 region-id table for the shifted layout
+        (None for unshifted blocks); the additive -100 mask is expanded from
+        it in-graph, where XLA fuses it into the logits add."""
         bn, n, c = x.shape
         h = self.num_heads
         d = c // h
@@ -136,22 +138,26 @@ class WindowAttention3D(nn.Module):
                                 (table_size, h))
         idx = _relative_position_index(self.full_window)[:n, :n].reshape(-1)
         bias = bias_table[idx].reshape(n, n, h).transpose(2, 0, 1)
-        if self.use_pallas and self.attn_drop == 0.0:
-            from ...kernels.window_attention import window_attention
-            out = window_attention(q, k, v, bias, mask)     # (bn, h, n, d)
-        else:
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                              preferred_element_type=jnp.float32) / jnp.sqrt(d)
-            attn = attn + bias[None]
-            if mask is not None:
-                nw = mask.shape[0]
-                attn = attn.reshape(bn // nw, nw, h, n, n) + mask[None, :, None]
-                attn = attn.reshape(bn, h, n, n)
-            attn = jax.nn.softmax(attn, axis=-1)
-            attn = nn.Dropout(self.attn_drop,
-                              deterministic=deterministic)(attn)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                             preferred_element_type=jnp.float32)
+        # Plain XLA attention. A fused Pallas window-attention kernel was
+        # built and measured in rounds 1-2 and DELETED: at d=32 the MXU runs
+        # at 32/128 contraction utilization, so the batched einsum is already
+        # compute-bound and its (BW, H, N, N) logits HBM traffic hides behind
+        # the matmul — fusion has no headroom (BASELINE.md "Window attention
+        # kernel post-mortem"). The -100 shift mask is an elementwise
+        # producer XLA fuses into this add; it is never materialized.
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) / jnp.sqrt(d)
+        attn = attn + bias[None]
+        if ids is not None:
+            nw = ids.shape[0]
+            mask = jnp.where(ids[:, None, :] == ids[:, :, None],
+                             0.0, -100.0)
+            attn = attn.reshape(bn // nw, nw, h, n, n) + mask[None, :, None]
+            attn = attn.reshape(bn, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
         out = Linear(c, xavier=False, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
@@ -178,7 +184,6 @@ class SwinBlock3D(nn.Module):
     shifted: bool = False
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -194,17 +199,17 @@ class SwinBlock3D(nn.Module):
         _, tp, hp, wp, _ = x.shape
         if any(shift):
             x = jnp.roll(x, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            # keep only the small (nW, N) id table as a constant; expand the
-            # additive mask on device
+            # keep only the small (nW, N) id table as a constant; the dense
+            # additive mask is expanded on device (XLA path) or reconstructed
+            # in-kernel from the ids (Pallas path) — never baked as a ~100 MB
+            # trace constant
             ids = jnp.asarray(_shift_window_ids((tp, hp, wp), window, shift))
-            mask = jnp.where(ids[:, None, :] == ids[:, :, None], 0.0, -100.0)
         else:
-            mask = None
+            ids = None
         windows = window_partition(x, window)
         attn = WindowAttention3D(self.dim, self.num_heads, window,
                                  full_window=self.window,
-                                 use_pallas=self.use_pallas,
-                                 name="attn")(windows, mask, det)
+                                 name="attn")(windows, ids, det)
         x = window_reverse(attn, window, b, tp, hp, wp)
         if any(shift):
             x = jnp.roll(x, shift, axis=(1, 2, 3))
@@ -247,7 +252,6 @@ class Swin3D(nn.Module):
     patch: Window = (2, 4, 4)
     backbone_classes: int = 400
     drop_path_rate: float = 0.1
-    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -269,7 +273,6 @@ class Swin3D(nn.Module):
             for blk in range(depth):
                 x = SwinBlock3D(dim, heads, self.window, shifted=blk % 2 == 1,
                                 drop_path=float(rates[k]),
-                                use_pallas=self.use_pallas_attention,
                                 name=f"stage{stage}_block{blk}")(x, train)
                 k += 1
             if stage < len(self.depths) - 1:

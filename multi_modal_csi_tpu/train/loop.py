@@ -62,16 +62,17 @@ def _init_variables(model, rng, example_x):
     return params, batch_stats
 
 
-def make_train_step(model, tx: optax.GradientTransformation,
-                    loss_fn: Callable, augment: bool = True):
-    """Single compiled train step with donated state."""
+def _train_step_body(model, tx: optax.GradientTransformation,
+                     loss_fn: Callable, augment: bool = True):
+    """The (unjitted) train-step body shared by the jit and AOT paths."""
 
     def step(params, batch_stats, opt_state, bx, by, rng):
         aug_rng, drop_rng = jax.random.split(rng)
         if augment:
-            # fused Pallas kernel on TPU (one HBM pass, on-chip PRNG;
-            # 8x faster than the jnp chain at (64, 3000, 270)); jnp fallback
-            # elsewhere — see kernels/augment.py
+            # fused Pallas kernel for 3-D (B, T, F) batches on TPU (one HBM
+            # pass, on-chip PRNG; 8x faster than the jnp chain at
+            # (64, 3000, 270)); flattened 2-D (MLP) inputs and non-TPU
+            # backends use the jnp chain — see kernels/augment.py:61-69
             from ..kernels.augment import fused_augmentation
             bx = fused_augmentation(aug_rng, bx)
 
@@ -87,7 +88,73 @@ def make_train_step(model, tx: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, mutated.get("batch_stats", {}), opt_state, loss, out
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    return step
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    loss_fn: Callable, augment: bool = True):
+    """Single compiled train step with donated state."""
+    return jax.jit(_train_step_body(model, tx, loss_fn, augment=augment),
+                   donate_argnums=(0, 1, 2))
+
+
+def aot_train_step(model, tx: optax.GradientTransformation,
+                   loss_fn: Callable, params, batch_stats, opt_state,
+                   batch_shapes, rng_example, *, augment: bool = True,
+                   sharding=None):
+    """AOT-compile the train step with AUTO layouts; ONE compile total.
+
+    The plain jitted step compiles up to THREE times on TPU: the first call
+    sees host-uploaded state in default layouts, while the step's outputs
+    (donated back in as the next call's inputs) carry XLA-chosen layouts —
+    each mismatch is a fresh cache entry (~39 s each for DETR; measured in
+    tools/exp_double_compile.py: 336+39+39 s warmup vs 42+7 s with this path).
+
+    Compiling with Format(Layout.AUTO) on inputs AND outputs lets XLA pick a
+    single layout per donated in/out pair; the initial state is device_put
+    into exactly those input formats, so no call ever misses the cache.
+
+    Returns (compiled, state, put_batch, put_rng): state is the formatted
+    (params, batch_stats, opt_state); put_batch/put_rng place per-step inputs
+    into the compiled formats.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    step = _train_step_body(model, tx, loss_fn, augment=augment)
+    auto = Format(Layout.AUTO)
+    jitted = jax.jit(step, donate_argnums=(0, 1, 2),
+                     in_shardings=auto, out_shardings=auto)
+    bx_s, by_s = batch_shapes
+
+    state_sharding = None
+    if sharding is not None:
+        # data-parallel: batches carry `sharding`; state is replicated
+        from jax.sharding import NamedSharding, PartitionSpec
+        state_sharding = NamedSharding(sharding.mesh, PartitionSpec())
+
+    def aval(x, shd=state_sharding):
+        if shd is not None:
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=shd)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    compiled = jitted.lower(
+        jax.tree_util.tree_map(aval, params),
+        jax.tree_util.tree_map(aval, batch_stats),
+        jax.tree_util.tree_map(aval, opt_state),
+        aval(bx_s, sharding), aval(by_s, sharding),
+        aval(rng_example)).compile()
+    fmts, _ = compiled.input_formats
+    state = (jax.device_put(params, fmts[0]),
+             jax.device_put(batch_stats, fmts[1]),
+             jax.device_put(opt_state, fmts[2]))
+
+    def put_batch(bx, by):
+        return jax.device_put(bx, fmts[3]), jax.device_put(by, fmts[4])
+
+    def put_rng(rng):
+        return jax.device_put(rng, fmts[5])
+
+    return compiled, state, put_batch, put_rng
 
 
 def make_eval_fn(model):
@@ -171,7 +238,6 @@ def fit(model,
         params, batch_stats = init_variables
     opt_state = tx.init(params)
 
-    step_fn = make_train_step(model, tx, loss_fn, augment=augment)
     forward = make_eval_fn(model)
 
     best_f1 = 0.0
@@ -200,6 +266,23 @@ def fit(model,
             opt_state = state["opt_state"]
             start_epoch = int(state["epoch"]) + 1
 
+    # Compile the step ONCE via the AOT layout-pinned path (after any resume,
+    # so the restored state is device_put into the compiled input formats).
+    # Falls back to plain jit if AOT lowering is unsupported for this config.
+    put_batch = put_rng = None
+    try:
+        rng, probe = jax.random.split(rng)
+        bx_s = jax.ShapeDtypeStruct((batch_size,) + x_train.shape[1:],
+                                    x_train.dtype)
+        by_s = jax.ShapeDtypeStruct((batch_size,) + y_train.shape[1:],
+                                    y_train.dtype)
+        step_fn, (params, batch_stats, opt_state), put_batch, put_rng = \
+            aot_train_step(model, tx, loss_fn, params, batch_stats, opt_state,
+                           (bx_s, by_s), probe, augment=augment,
+                           sharding=sharding)
+    except Exception:
+        step_fn = make_train_step(model, tx, loss_fn, augment=augment)
+
     y_valid_np = np.asarray(y_valid)
 
     for epoch in range(start_epoch, epochs):
@@ -210,6 +293,9 @@ def fit(model,
         loss_train = jnp.zeros(())
         for bx, by in device_batches(x_train, y_train, idx, sharding=sharding):
             rng, step_rng = jax.random.split(rng)
+            if put_batch is not None:
+                bx, by = put_batch(bx, by)
+                step_rng = put_rng(step_rng)
             params, batch_stats, opt_state, loss_train, out = step_fn(
                 params, batch_stats, opt_state, bx, by, step_rng)
             last_by, last_out = by, out

@@ -27,6 +27,38 @@ def test_hungarian_assignment_matches_scipy(rng):
             assert got_total == pytest.approx(want_total, rel=1e-6)
 
 
+def test_hungarian_assignment_large_q_host_fallback(rng):
+    """Q > 8 routes through the pure_callback scipy solve (exact, jittable)."""
+    import jax
+    q = 11
+    cost = rng.normal(size=(3, q, q)).astype(np.float32)
+    got = np.asarray(jax.jit(hungarian_assignment)(cost))
+    for b in range(cost.shape[0]):
+        rows, cols = linear_sum_assignment(cost[b])
+        got_total = cost[b][np.arange(q), got[b]].sum()
+        want_total = cost[b][rows, cols].sum()
+        assert got_total == pytest.approx(want_total, rel=1e-6)
+
+
+def test_hungarian_loss_large_q_end_to_end(rng):
+    """The full set loss (matching + weighted CE + aux) works past the
+    enumeration bound — covers the reference's NUM_QUERIES env knob
+    (config_modifier.py) at any size."""
+    import jax
+    L, B, Q, C = 2, 3, 10, 10
+    outputs = rng.normal(size=(L, B, Q, C)).astype(np.float32)
+    targets = np.zeros((B, Q, C), np.float32)
+    for b in range(B):
+        for q in range(Q):
+            targets[b, q, rng.integers(0, C)] = 1
+    loss = HungarianMatchingLoss()
+    got = float(loss(outputs, targets))
+    want = _oracle_hungarian_loss(outputs, targets, 0.25, 0.3, 0.25)
+    assert got == pytest.approx(want, rel=1e-4)
+    g = jax.grad(lambda o: loss(o, targets))(outputs)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def _oracle_hungarian_loss(outputs, targets, aux_w, smoothing, imb):
     """Reference-semantics oracle computed with scipy + torch CE."""
     w = np.ones(10, np.float32)

@@ -1,0 +1,176 @@
+"""TPU bench: TRAINING-step throughput for DETR + THAT + LSTM (VERDICT #8).
+
+Full step = fused augmentation + forward + loss (Hungarian matching for
+DETR) + backward + torch-semantics Adam, at batch 64, f32 and bf16 compute.
+
+Methodology: the parameter chain IS a data-dependency chain (step t+1's
+state depends on step t's), so the marginal step time between a short and a
+long run — with the final loss fetched to host — cannot be faked by relay
+caching (same hardening as bench.py; BASELINE.md "Measured numbers").
+
+Breakdown per model (f32): separately jitted augmentation, forward+loss,
+and loss-only passes; backward+update is the remainder of the full step.
+
+Run:  nohup python tools/bench_training.py > /tmp/bench_train.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_csi_tpu.losses.basic import bce_with_logits
+from multi_modal_csi_tpu.losses.matching import HungarianMatchingLoss
+from multi_modal_csi_tpu.models import csi as csi_models
+from multi_modal_csi_tpu.train.loop import (_init_variables, adam_like_torch,
+                                            make_train_step)
+
+BATCH = 64
+
+
+def _cast(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if hasattr(a, "dtype")
+        and a.dtype == jnp.float32 else a, tree)
+
+
+def build(name: str, dtype):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(BATCH, 3000, 270)).astype(np.float32)
+    if name == "DETR":
+        from multi_modal_csi_tpu.models.csi.detr import DETRMultiUser
+        model = DETRMultiUser(token_length=10, num_decoder_layers=6,
+                              temp_cross=2.0, num_queries=5,
+                              dim_feedforward=512)
+        y = np.zeros((BATCH, 5, 10), np.float32)
+        y[np.arange(BATCH)[:, None], np.arange(5)[None, :],
+          rng.integers(0, 10, size=(BATCH, 5))] = 1.0
+        loss = HungarianMatchingLoss()
+        out_axis = 1
+    elif name == "THAT":
+        model = csi_models.THAT(out_features=9)
+        y = (rng.random(size=(BATCH, 9)) < 0.3).astype(np.float32)
+        loss = lambda o, t: bce_with_logits(o, t, 4.0)
+        out_axis = 0
+    elif name == "LSTM":
+        model = csi_models.LSTMModel(out_features=9)
+        y = (rng.random(size=(BATCH, 9)) < 0.3).astype(np.float32)
+        loss = lambda o, t: bce_with_logits(o, t, 6.0)
+        out_axis = 0
+    else:
+        raise ValueError(name)
+    tx = adam_like_torch(1e-4)
+    params, batch_stats = _init_variables(model, jax.random.PRNGKey(0), x[:2])
+    if dtype != jnp.float32:
+        params = _cast(params, dtype)
+        x = x.astype(dtype)
+    opt_state = tx.init(params)
+    return model, tx, loss, params, batch_stats, opt_state, \
+        jnp.asarray(x, dtype), jnp.asarray(y), out_axis
+
+
+def marginal_step_s(step_once, n_short=3, n_long=13):
+    def run(n):
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(n):
+            loss = step_once(i)
+        float(loss)                            # fetch — forces completion
+        return time.perf_counter() - t0
+
+    float(step_once(0))                        # compile + warm
+    float(step_once(1))                        # second layout compile if any
+    t_short = run(n_short)
+    t_long = run(n_long)
+    return (t_long - t_short) / (n_long - n_short)
+
+
+def bench_model(name: str, dtype, breakdown: bool):
+    model, tx, loss, params, batch_stats, opt_state, bx, by, _ = build(
+        name, dtype)
+    step_fn = make_train_step(model, tx, loss, augment=True)
+    state = [params, batch_stats, opt_state]
+
+    def step_once(i):
+        p, bs, o, l, _ = step_fn(state[0], state[1], state[2], bx, by,
+                                 jax.random.PRNGKey(i))
+        state[0], state[1], state[2] = p, bs, o
+        return l
+
+    t_step = marginal_step_s(step_once)
+    tag = "bf16" if dtype == jnp.bfloat16 else "f32"
+    print(f"{name} [{tag}] full train step: {t_step*1e3:.2f} ms = "
+          f"{BATCH / t_step:.0f} windows/s", flush=True)
+    if not breakdown:
+        return
+
+    # --- breakdown (all under the same chained methodology) ---------------
+    from multi_modal_csi_tpu.kernels.augment import fused_augmentation
+
+    @jax.jit
+    def aug_only(x, i):
+        out = fused_augmentation(jax.random.fold_in(jax.random.PRNGKey(0), i), x)
+        return out, jnp.mean(out)
+
+    xs = [bx]
+
+    def aug_once(i):
+        out, m = aug_only(xs[0], i)
+        xs[0] = out
+        return m
+    t_aug = marginal_step_s(aug_once)
+
+    @jax.jit
+    def fwd_loss(p, bs, x, y):
+        out = model.apply({"params": p, "batch_stats": bs}, x, train=False)
+        return loss(out, y)
+
+    ps = [params]
+
+    def fwd_once(i):
+        l = fwd_loss(ps[0], batch_stats, bx, by)
+        # chain params lightly so no caching: p += eps * l
+        ps[0] = jax.tree_util.tree_map(
+            lambda a: (a + jnp.asarray(1e-12, a.dtype) * l.astype(a.dtype))
+            if a.dtype in (jnp.float32, jnp.bfloat16) else a, ps[0])
+        return l
+    t_fwd = marginal_step_s(fwd_once)
+
+    example_out = model.apply({"params": params, "batch_stats": batch_stats},
+                              bx[:BATCH], train=False)
+
+    @jax.jit
+    def loss_only(out, y):
+        return loss(out, y)
+
+    os_ = [example_out]
+
+    def loss_once(i):
+        l = loss_only(os_[0], by)
+        os_[0] = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(1e-9, a.dtype) * l.astype(a.dtype), os_[0])
+        return l
+    t_loss = marginal_step_s(loss_once)
+
+    t_bwd = t_step - t_aug - t_fwd
+    print(f"{name} [f32] breakdown: aug {t_aug*1e3:.2f} ms | fwd+loss "
+          f"{t_fwd*1e3:.2f} ms (loss alone {t_loss*1e3:.3f} ms) | "
+          f"bwd+adam {t_bwd*1e3:.2f} ms", flush=True)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    for name in ("DETR", "THAT", "LSTM"):
+        bench_model(name, jnp.float32, breakdown=True)
+        bench_model(name, jnp.bfloat16, breakdown=False)
+
+
+if __name__ == "__main__":
+    main()

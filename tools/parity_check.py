@@ -348,6 +348,10 @@ ALL_CHECKS = {
 
 
 if __name__ == "__main__":
+    # transplant parity is a NUMERICS check: force the CPU backend so TPU
+    # matmul precision (and the axon plugin's self-selection) can't skew it
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     which = sys.argv[1:] or list(ALL_CHECKS)
     for name in which:
         ALL_CHECKS[name]()
