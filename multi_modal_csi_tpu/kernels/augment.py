@@ -37,7 +37,9 @@ def _augment_kernel(seed_ref, x_ref, out_ref):
 
     # per-TILE stream for noise/mask
     pltpu.prng_seed(seed_ref[0] + i * 7919 + (j + 1) * 104729)
-    x = x_ref[0]                                   # (tile, F)
+    # randomness is generated in f32 regardless of the activation dtype
+    # (bf16 batches included); the result casts back at the single write
+    x = x_ref[0].astype(jnp.float32)               # (tile, F)
 
     # gaussian noise sigma 0.1 (Box-Muller on two uniform draws)
     u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(x.shape),
@@ -52,7 +54,7 @@ def _augment_kernel(seed_ref, x_ref, out_ref):
     m = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(x.shape),
                                          jnp.uint32))
     x = x * (m < 0.96).astype(x.dtype)
-    out_ref[0] = x
+    out_ref[0] = x.astype(out_ref.dtype)
 
 
 def fused_augmentation(rng: jax.Array, x: jnp.ndarray, *,

@@ -280,7 +280,10 @@ def fit(model,
             aot_train_step(model, tx, loss_fn, params, batch_stats, opt_state,
                            (bx_s, by_s), probe, augment=augment,
                            sharding=sharding)
-    except Exception:
+    except Exception as e:
+        import warnings
+        warnings.warn(f"AOT train-step lowering failed ({e!r}); falling back "
+                      "to plain jit (expect layout-churn recompiles on TPU)")
         step_fn = make_train_step(model, tx, loss_fn, augment=augment)
 
     y_valid_np = np.asarray(y_valid)

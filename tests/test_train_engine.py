@@ -98,3 +98,54 @@ def test_fit_checkpoint_resume(tmp_path):
     # "preempted" restart: resumes from the epoch-3 checkpoint
     res2 = fit(model, x, y, x, y, epochs=6, **kwargs)
     assert res2.epochs_ran == 2  # epochs 4 and 5 only
+
+
+def test_aot_step_matches_jit_step():
+    """The AOT layout-pinned step (fit's default; train/loop.py::aot_train_step)
+    produces bit-comparable training numerics to the plain jitted step."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_csi_tpu.train.loop import (_init_variables,
+                                                adam_like_torch,
+                                                aot_train_step,
+                                                make_train_step)
+
+    x, y = _synthetic_baseline(n=32)
+    model = MLP(out_features=y.shape[-1])
+    loss_fn = lambda o, t: bce_with_logits(o, t, pos_weight=4.0)
+    tx = adam_like_torch(1e-3)
+
+    def init_state():
+        params, batch_stats = _init_variables(model, jax.random.PRNGKey(0),
+                                              x[:2])
+        return params, batch_stats, tx.init(params)
+
+    bx, by = jnp.asarray(x[:16]), jnp.asarray(y[:16]).astype(jnp.float32)
+
+    params, batch_stats, opt_state = init_state()
+    jit_step = make_train_step(model, tx, loss_fn, augment=False)
+    for i in range(3):
+        params, batch_stats, opt_state, loss_jit, _ = jit_step(
+            params, batch_stats, opt_state, bx, by, jax.random.PRNGKey(i))
+    jit_params = jax.device_get(params)
+
+    params, batch_stats, opt_state = init_state()
+    probe = jax.random.PRNGKey(99)
+    compiled, (params, batch_stats, opt_state), put_batch, put_rng = \
+        aot_train_step(model, tx, loss_fn, params, batch_stats, opt_state,
+                       (jax.ShapeDtypeStruct(bx.shape, bx.dtype),
+                        jax.ShapeDtypeStruct(by.shape, by.dtype)),
+                       probe, augment=False)
+    abx, aby = put_batch(bx, by)
+    for i in range(3):
+        params, batch_stats, opt_state, loss_aot, _ = compiled(
+            params, batch_stats, opt_state, abx, aby,
+            put_rng(jax.random.PRNGKey(i)))
+    aot_params = jax.device_get(params)
+
+    assert float(loss_aot) == pytest.approx(float(loss_jit), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(jit_params),
+                    jax.tree_util.tree_leaves(aot_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -30,7 +30,7 @@ from multi_modal_csi_tpu.losses.basic import bce_with_logits
 from multi_modal_csi_tpu.losses.matching import HungarianMatchingLoss
 from multi_modal_csi_tpu.models import csi as csi_models
 from multi_modal_csi_tpu.train.loop import (_init_variables, adam_like_torch,
-                                            make_train_step)
+                                            aot_train_step)
 
 BATCH = 64
 
@@ -76,7 +76,7 @@ def build(name: str, dtype):
         jnp.asarray(x, dtype), jnp.asarray(y), out_axis
 
 
-def marginal_step_s(step_once, n_short=3, n_long=13):
+def marginal_step_s(step_once, n_short=3, n_long=43):
     def run(n):
         t0 = time.perf_counter()
         loss = None
@@ -86,7 +86,7 @@ def marginal_step_s(step_once, n_short=3, n_long=13):
         return time.perf_counter() - t0
 
     float(step_once(0))                        # compile + warm
-    float(step_once(1))                        # second layout compile if any
+    float(step_once(1))
     t_short = run(n_short)
     t_long = run(n_long)
     return (t_long - t_short) / (n_long - n_short)
@@ -95,12 +95,21 @@ def marginal_step_s(step_once, n_short=3, n_long=13):
 def bench_model(name: str, dtype, breakdown: bool):
     model, tx, loss, params, batch_stats, opt_state, bx, by, _ = build(
         name, dtype)
-    step_fn = make_train_step(model, tx, loss, augment=True)
-    state = [params, batch_stats, opt_state]
+    # keep host copies: the AOT step donates the device state, and the
+    # breakdown passes below need undonated params/batch_stats
+    params_host = jax.device_get(params)
+    stats_host = jax.device_get(batch_stats)
+    step_fn, (p0, bs0, o0), put_batch, put_rng = aot_train_step(
+        model, tx, loss, params, batch_stats, opt_state,
+        (jax.ShapeDtypeStruct(bx.shape, bx.dtype),
+         jax.ShapeDtypeStruct(by.shape, by.dtype)),
+        jax.random.PRNGKey(0), augment=True)
+    bx, by = put_batch(bx, by)
+    state = [p0, bs0, o0]
 
     def step_once(i):
         p, bs, o, l, _ = step_fn(state[0], state[1], state[2], bx, by,
-                                 jax.random.PRNGKey(i))
+                                 put_rng(jax.random.PRNGKey(i)))
         state[0], state[1], state[2] = p, bs, o
         return l
 
@@ -112,6 +121,8 @@ def bench_model(name: str, dtype, breakdown: bool):
         return
 
     # --- breakdown (all under the same chained methodology) ---------------
+    params = jax.device_put(params_host)
+    batch_stats = jax.device_put(stats_host)
     from multi_modal_csi_tpu.kernels.augment import fused_augmentation
 
     @jax.jit
@@ -130,16 +141,14 @@ def bench_model(name: str, dtype, breakdown: bool):
     @jax.jit
     def fwd_loss(p, bs, x, y):
         out = model.apply({"params": p, "batch_stats": bs}, x, train=False)
-        return loss(out, y)
+        l = loss(out, y)
+        # chain the input through the loss so runs cannot be cached/elided
+        return l, x + jnp.asarray(1e-9, x.dtype) * l.astype(x.dtype)
 
-    ps = [params]
+    bxs = [bx]
 
     def fwd_once(i):
-        l = fwd_loss(ps[0], batch_stats, bx, by)
-        # chain params lightly so no caching: p += eps * l
-        ps[0] = jax.tree_util.tree_map(
-            lambda a: (a + jnp.asarray(1e-12, a.dtype) * l.astype(a.dtype))
-            if a.dtype in (jnp.float32, jnp.bfloat16) else a, ps[0])
+        l, bxs[0] = fwd_loss(params, batch_stats, bxs[0], by)
         return l
     t_fwd = marginal_step_s(fwd_once)
 
@@ -148,14 +157,14 @@ def bench_model(name: str, dtype, breakdown: bool):
 
     @jax.jit
     def loss_only(out, y):
-        return loss(out, y)
+        l = loss(out, y)
+        return l, jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(1e-9, a.dtype) * l.astype(a.dtype), out)
 
     os_ = [example_out]
 
     def loss_once(i):
-        l = loss_only(os_[0], by)
-        os_[0] = jax.tree_util.tree_map(
-            lambda a: a + jnp.asarray(1e-9, a.dtype) * l.astype(a.dtype), os_[0])
+        l, os_[0] = loss_only(os_[0], by)
         return l
     t_loss = marginal_step_s(loss_once)
 
@@ -167,9 +176,14 @@ def bench_model(name: str, dtype, breakdown: bool):
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    for name in ("DETR", "THAT", "LSTM"):
-        bench_model(name, jnp.float32, breakdown=True)
-        bench_model(name, jnp.bfloat16, breakdown=False)
+    # optional argv filter: e.g. `bench_training.py DETR:bf16 THAT LSTM`
+    wanted = sys.argv[1:] or ["DETR", "THAT", "LSTM"]
+    for item in wanted:
+        name, _, dt = item.partition(":")
+        if dt in ("", "f32"):
+            bench_model(name, jnp.float32, breakdown=True)
+        if dt in ("", "bf16"):
+            bench_model(name, jnp.bfloat16, breakdown=False)
 
 
 if __name__ == "__main__":
