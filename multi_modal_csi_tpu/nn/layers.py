@@ -245,9 +245,13 @@ class LSTM(nn.Module):
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
                 i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
                 g = jnp.tanh(g)
-                c_new = f * c_t + i * g
+                c_new = f * c_t.astype(jnp.float32) + i * g
                 h_new = o * jnp.tanh(c_new)
-                return (h_new, c_new), h_new
+                # carry stays in the activation dtype (bf16 training keeps
+                # f32 gate math inside the step, bf16 state between steps);
+                # for f32 inputs these casts are no-ops
+                return (h_new.astype(xs.dtype), c_new.astype(xs.dtype)), \
+                    h_new.astype(xs.dtype)
 
             b = xs.shape[0]
             init = (jnp.zeros((b, h), xs.dtype), jnp.zeros((b, h), xs.dtype))

@@ -30,7 +30,6 @@ import optax
 from ..data.pipeline import chunked, device_batches, epoch_batches, pad_to
 from ..metrics.performance import performance_metrics
 from ..utils.logging import MetricWriter
-# augmentation is imported lazily inside the step (Pallas on TPU, jnp fallback)
 from .schedules import cosine_warmup
 
 
@@ -69,12 +68,12 @@ def _train_step_body(model, tx: optax.GradientTransformation,
     def step(params, batch_stats, opt_state, bx, by, rng):
         aug_rng, drop_rng = jax.random.split(rng)
         if augment:
-            # fused Pallas kernel for 3-D (B, T, F) batches on TPU (one HBM
-            # pass, on-chip PRNG; 8x faster than the jnp chain at
-            # (64, 3000, 270)); flattened 2-D (MLP) inputs and non-TPU
-            # backends use the jnp chain — see kernels/augment.py:61-69
-            from ..kernels.augment import fused_augmentation
-            bx = fused_augmentation(aug_rng, bx)
+            # plain jnp chain: XLA fuses noise+scale+mask into one pass and
+            # beats a hand-written Pallas kernel (2.8 vs 3.7 ms at
+            # (64, 3000, 270) — the kernel paid ~12 us/grid-cell overhead;
+            # deleted per win-or-delete, BASELINE.md augmentation post-mortem)
+            from .augment import apply_augmentation
+            bx = apply_augmentation(aug_rng, bx)
 
         def loss_wrap(p):
             out, mutated = model.apply(

@@ -8,7 +8,7 @@ import pytest
 from multi_modal_csi_tpu.kernels.csi_preprocess import (
     amplitude_phase, amplitude_phase_reference, pad_normalize,
     pad_normalize_reference)
-from multi_modal_csi_tpu.kernels.augment import fused_augmentation
+from multi_modal_csi_tpu.train.augment import apply_augmentation
 
 
 def test_amplitude_phase_matches_reference(rng):
@@ -54,17 +54,21 @@ def test_pad_normalize_with_standardization(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5)
 
 
-def test_fused_augmentation_cpu_fallback(rng):
+def test_augmentation_shapes_and_changes(rng):
     x = jnp.asarray(rng.normal(size=(4, 16, 8)).astype(np.float32))
-    out = fused_augmentation(jax.random.PRNGKey(0), x)
+    out = apply_augmentation(jax.random.PRNGKey(0), x)
     assert out.shape == x.shape
     assert not np.allclose(np.asarray(out), np.asarray(x))
+    # bf16 batches pass through unchanged in dtype (bf16 training path)
+    xb = x.astype(jnp.bfloat16)
+    outb = apply_augmentation(jax.random.PRNGKey(0), xb)
+    assert outb.dtype == jnp.bfloat16
 
 
-def test_fused_augmentation_statistics(rng):
-    # distribution check (jnp fallback path on CPU): ~4% zeros, mean ~1
+def test_augmentation_statistics(rng):
+    # distribution check: ~4% zeros (bernoulli mask), mean ~1 elsewhere
     x = jnp.ones((8, 64, 128), jnp.float32)
-    out = np.asarray(fused_augmentation(jax.random.PRNGKey(1), x))
+    out = np.asarray(apply_augmentation(jax.random.PRNGKey(1), x))
     zero_frac = (out == 0).mean()
     assert 0.005 < zero_frac < 0.12
     nonzero = out[out != 0]

@@ -123,11 +123,12 @@ def bench_model(name: str, dtype, breakdown: bool):
     # --- breakdown (all under the same chained methodology) ---------------
     params = jax.device_put(params_host)
     batch_stats = jax.device_put(stats_host)
-    from multi_modal_csi_tpu.kernels.augment import fused_augmentation
+    from multi_modal_csi_tpu.train.augment import apply_augmentation
 
     @jax.jit
     def aug_only(x, i):
-        out = fused_augmentation(jax.random.fold_in(jax.random.PRNGKey(0), i), x)
+        out = apply_augmentation(
+            jax.random.fold_in(jax.random.PRNGKey(0), i), x)
         return out, jnp.mean(out)
 
     xs = [bx]

@@ -80,8 +80,8 @@ def main():
     def step(params, batch_stats, opt_state, bx, by, rng):
         # identical body to make_train_step's
         aug_rng, drop_rng = jax.random.split(rng)
-        from multi_modal_csi_tpu.kernels.augment import fused_augmentation
-        bxa = fused_augmentation(aug_rng, bx)
+        from multi_modal_csi_tpu.train.augment import apply_augmentation
+        bxa = apply_augmentation(aug_rng, bx)
 
         def loss_wrap(p):
             out, mutated = model.apply(
