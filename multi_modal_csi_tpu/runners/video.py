@@ -44,7 +44,8 @@ from ..data.pipeline import epoch_batches, pad_to
 from ..data.video_io import ArrayClips, ClipDataset, prefetch_batches
 from ..losses.basic import bce_with_logits
 from ..models import video as video_models
-from ..train.loop import adam_like_torch, make_eval_fn
+from ..train.loop import (adam_like_torch, aot_train_step, make_eval_fn,
+                          make_train_step)
 from ..utils.complexity import complexity_report
 
 VIDEO_MODELS: Dict[str, Callable[[int], Any]] = {
@@ -122,18 +123,27 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
     tx = adam_like_torch(lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, batch_stats, opt_state, bx, by, rng):
-        def loss_wrap(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats}, bx, train=True,
-                rngs={"dropout": rng}, mutable=["batch_stats"])
-            return bce_with_logits(out, by), mut
-
-        (loss, mut), grads = jax.value_and_grad(loss_wrap, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, mut.get("batch_stats", {}), opt_state, loss
+    # AOT layout-pinned donated step (train/loop.py::aot_train_step): one
+    # compile, no layout-churn recompiles, opt state updated in place —
+    # matters at video-backbone sizes (33-50 M params). No augmentation
+    # (the reference's video engine has none, video/train.py:19-103).
+    loss_fn = lambda o, t: bce_with_logits(o, t)
+    ex = train_ds.example()
+    bx_s = jax.ShapeDtypeStruct((batch_size,) + ex.shape[1:],
+                                np.dtype(ex.dtype))
+    by_s = jax.ShapeDtypeStruct((batch_size,) + train_ds.y.shape[1:],
+                                np.dtype(train_ds.y.dtype))
+    put_batch = put_rng = None
+    try:
+        rng, probe = jax.random.split(rng)
+        step, (params, batch_stats, opt_state), put_batch, put_rng = \
+            aot_train_step(model, tx, loss_fn, params, batch_stats,
+                           opt_state, (bx_s, by_s), probe, augment=False)
+    except Exception as e:
+        import warnings
+        warnings.warn(f"AOT video train-step lowering failed ({e!r}); "
+                      "falling back to plain jit")
+        step = make_train_step(model, tx, loss_fn, augment=False)
 
     forward = make_eval_fn(model)
     best_acc = 0.0
@@ -149,9 +159,12 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
         for bx, by in prefetch_batches(train_ds, idx,
                                        num_workers=num_workers):
             rng, srng = jax.random.split(rng)
-            params, batch_stats, opt_state, loss = step(
-                params, batch_stats, opt_state, jnp.asarray(bx),
-                jnp.asarray(by), srng)
+            bx, by = jnp.asarray(bx), jnp.asarray(by)
+            if put_batch is not None:
+                bx, by = put_batch(bx, by)
+                srng = put_rng(srng)
+            params, batch_stats, opt_state, loss, _ = step(
+                params, batch_stats, opt_state, bx, by, srng)
         train_acc, _, _ = _evaluate(forward, params, batch_stats, train_ds,
                                     threshold, chunk=batch_size,
                                     num_workers=num_workers)
