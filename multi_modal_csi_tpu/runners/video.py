@@ -127,7 +127,7 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
     # compile, no layout-churn recompiles, opt state updated in place —
     # matters at video-backbone sizes (33-50 M params). No augmentation
     # (the reference's video engine has none, video/train.py:19-103).
-    loss_fn = lambda o, t: bce_with_logits(o, t)
+    loss_fn = bce_with_logits    # pos_weight=None == reference's pos_weight 1
     ex = train_ds.example()
     bx_s = jax.ShapeDtypeStruct((batch_size,) + ex.shape[1:],
                                 np.dtype(ex.dtype))
@@ -159,10 +159,13 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
         for bx, by in prefetch_batches(train_ds, idx,
                                        num_workers=num_workers):
             rng, srng = jax.random.split(rng)
-            bx, by = jnp.asarray(bx), jnp.asarray(by)
             if put_batch is not None:
+                # ONE host->device transfer straight into the compiled
+                # formats (jnp.asarray first would upload a second copy)
                 bx, by = put_batch(bx, by)
                 srng = put_rng(srng)
+            else:
+                bx, by = jnp.asarray(bx), jnp.asarray(by)
             params, batch_stats, opt_state, loss, _ = step(
                 params, batch_stats, opt_state, bx, by, srng)
         train_acc, _, _ = _evaluate(forward, params, batch_stats, train_ds,

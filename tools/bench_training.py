@@ -1,6 +1,6 @@
 """TPU bench: TRAINING-step throughput for DETR + THAT + LSTM (VERDICT #8).
 
-Full step = fused augmentation + forward + loss (Hungarian matching for
+Full step = in-graph augmentation + forward + loss (Hungarian matching for
 DETR) + backward + torch-semantics Adam, at batch 64, f32 and bf16 compute.
 
 Methodology: the parameter chain IS a data-dependency chain (step t+1's
@@ -181,6 +181,9 @@ def main():
     wanted = sys.argv[1:] or ["DETR", "THAT", "LSTM"]
     for item in wanted:
         name, _, dt = item.partition(":")
+        if dt not in ("", "f32", "bf16"):
+            raise SystemExit(f"unknown dtype suffix {dt!r} in {item!r} "
+                             "(use f32 or bf16)")
         if dt in ("", "f32"):
             bench_model(name, jnp.float32, breakdown=True)
         if dt in ("", "bf16"):
