@@ -20,13 +20,14 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _block_attend(q, k, v, m_prev, l_prev, o_prev, scale):
+def _block_attend(q, k, v, m_prev, l_prev, o_prev, scale, precision=None):
     """One K/V block of streaming-softmax attention.
 
     q: (B, H, Nq, D); k/v: (B, H, Nk, D); m/l/o: running max, normalizer,
-    unnormalized output.
+    unnormalized output. `precision=HIGHEST` forces exact f32 multiplies
+    (TPU's default is bf16 passes) — used by correctness checks.
     """
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision,
                    preferred_element_type=jnp.float32) * scale
     m_cur = s.max(axis=-1)
     m_new = jnp.maximum(m_prev, m_cur)
@@ -34,12 +35,14 @@ def _block_attend(q, k, v, m_prev, l_prev, o_prev, scale):
     correction = jnp.exp(m_prev - m_new)
     l_new = l_prev * correction + p.sum(axis=-1)
     o_new = o_prev * correction[..., None] + jnp.einsum(
-        "bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32)
+        "bhqk,bhkd->bhqd", p, v, precision=precision,
+        preferred_element_type=jnp.float32)
     return m_new, l_new, o_new
 
 
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   mesh: Mesh, axis: str = "data") -> jnp.ndarray:
+                   mesh: Mesh, axis: str = "data",
+                   precision=None) -> jnp.ndarray:
     """Exact attention with the SEQUENCE axis sharded over `axis`.
 
     q, k, v: (B, H, N, D) logically; physically each device holds an
@@ -61,7 +64,8 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
         def body(i, carry):
             m, l, o, k, v = carry
-            m, l, o = _block_attend(q, k, v, m, l, o, scale)
+            m, l, o = _block_attend(q, k, v, m, l, o, scale,
+                                    precision)
             perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
             k = jax.lax.ppermute(k, axis, perm)
             v = jax.lax.ppermute(v, axis, perm)
@@ -75,10 +79,10 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      out_specs=spec)(q, k, v)
 
 
-def full_attention_reference(q, k, v):
+def full_attention_reference(q, k, v, precision=None):
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision,
                    preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v, precision=precision,
                       preferred_element_type=jnp.float32).astype(q.dtype)
