@@ -136,8 +136,12 @@ class Config:
     wandb_project: Optional[str] = None   # None => stdout/JSONL only
     log_jsonl: Optional[str] = None
     profile_dir: Optional[str] = None
-    # numerics: bf16 matmuls on MXU with f32 accumulation
-    compute_dtype: str = "bfloat16"
+    # numerics for the FINAL test-set inference (the serving path):
+    # "float32" reproduces the reference's numerics (default — training is
+    # always f32 like the reference); "bfloat16" casts the best weights and
+    # eval batches to bf16 with f32 MXU accumulation — the serving
+    # configuration measured in BASELINE.md (up to 2.9x inference speedup).
+    compute_dtype: str = "float32"
 
     # ------------------------------------------------------------------ #
     def to_dict(self) -> Dict[str, Any]:

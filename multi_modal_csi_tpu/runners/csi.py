@@ -36,7 +36,8 @@ from ..losses.matching import (HungarianMatchingLoss, count_based_loss,
                                permutation_matching_loss)
 from ..metrics.performance import performance_metrics
 from ..models import csi as csi_models
-from ..train.loop import eval_dataset, fit, make_eval_fn
+from ..train.loop import (cast_for_serving, eval_dataset, fit,
+                          make_eval_fn)
 from ..train.transfer import transfer_optimizer
 from ..utils.complexity import complexity_report
 from ..utils.logging import MetricWriter
@@ -333,9 +334,18 @@ def run_csi_model(cfg: Config,
                             fitres.best_params, fitres.best_batch_stats)
 
         forward = make_eval_fn(model)
-        logits = eval_dataset(forward, fitres.best_params,
-                              fitres.best_batch_stats, x_te,
-                              batch_axis=spec.batch_axis)
+        # final test-set inference — the serving path. compute_dtype
+        # "bfloat16" casts weights + eval batches (BASELINE.md serving
+        # tables); training above stayed f32 like the reference.
+        eval_params, eval_stats, eval_dtype = (
+            fitres.best_params, fitres.best_batch_stats, None)
+        if cfg.compute_dtype == "bfloat16":
+            import jax.numpy as jnp
+            eval_dtype = jnp.bfloat16
+            eval_params = cast_for_serving(eval_params, eval_dtype)
+            eval_stats = cast_for_serving(eval_stats, eval_dtype)
+        logits = eval_dataset(forward, eval_params, eval_stats, x_te,
+                              batch_axis=spec.batch_axis, dtype=eval_dtype)
         t2 = time.time()
 
         if spec.final_eval == "report":

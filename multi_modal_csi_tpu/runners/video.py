@@ -44,8 +44,8 @@ from ..data.pipeline import epoch_batches, pad_to
 from ..data.video_io import ArrayClips, ClipDataset, prefetch_batches
 from ..losses.basic import bce_with_logits
 from ..models import video as video_models
-from ..train.loop import (adam_like_torch, aot_train_step, make_eval_fn,
-                          make_train_step)
+from ..train.loop import (adam_like_torch, aot_train_step,
+                          cast_for_serving, make_eval_fn, make_train_step)
 from ..utils.complexity import complexity_report
 
 VIDEO_MODELS: Dict[str, Callable[[int], Any]] = {
@@ -83,16 +83,21 @@ def _eval_rows(n: int, chunk: int) -> list:
 
 
 def _evaluate(forward, params, batch_stats, dataset, threshold, chunk=16,
-              num_workers: int = 4):
+              num_workers: int = 4, dtype=None):
     """Streaming full-dataset eval: every sample scored (tail chunk padded
-    on device input, padding sliced off the logits)."""
+    on device input, padding sliced off the logits). `dtype` casts input
+    chunks for serving-precision inference (params already cast)."""
     n = len(dataset)
     chunk = min(chunk, max(1, n))
     outs = []
     for bx, _ in prefetch_batches(dataset, _eval_rows(n, chunk),
                                   num_workers=num_workers):
         size = bx.shape[0]
-        out = np.asarray(forward(params, batch_stats, pad_to(bx, chunk)))
+        bx = pad_to(bx, chunk)
+        if dtype is not None:
+            bx = jnp.asarray(bx, dtype)
+        out = forward(params, batch_stats, bx)
+        out = np.asarray(out.astype(jnp.float32) if dtype is not None else out)
         outs.append(out[:size])
     logits = np.concatenate(outs, axis=0)
     y_flat = dataset.y
@@ -226,8 +231,17 @@ def run_video_model(cfg: Config,
                             init_variables=init_variables)
         t1 = time.time()
         forward = make_eval_fn(model)
-        acc, pred, _ = _evaluate(forward, best[0], best[1], test_ds,
-                                 cfg.nn.threshold, chunk=cfg.nn.batch_size)
+        # final inference — serving path; compute_dtype="bfloat16" casts
+        # weights+stats (training above stayed f32 like the reference)
+        ep, es = best
+        dtype = None
+        if cfg.compute_dtype == "bfloat16":
+            dtype = jnp.bfloat16
+            ep = cast_for_serving(ep, dtype)
+            es = cast_for_serving(es, dtype)
+        acc, pred, _ = _evaluate(forward, ep, es, test_ds,
+                                 cfg.nn.threshold, chunk=cfg.nn.batch_size,
+                                 dtype=dtype)
         result[f"repeat_{r}"] = classification_report(
             y_te_flat.astype(int), pred, digits=6, zero_division=0,
             output_dict=True)

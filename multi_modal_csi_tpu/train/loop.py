@@ -165,20 +165,33 @@ def make_eval_fn(model):
 
 
 def eval_dataset(forward, params, batch_stats, x: np.ndarray,
-                 chunk: int = 512, batch_axis: int = 0) -> np.ndarray:
+                 chunk: int = 512, batch_axis: int = 0,
+                 dtype=None) -> np.ndarray:
     """Chunked full-dataset forward with static shapes.
 
     `batch_axis` is where the batch lives in the OUTPUT (1 for DETR-style
-    [L, B, Q, C] stacks, 0 otherwise).
+    [L, B, Q, C] stacks, 0 otherwise). `dtype` (e.g. jnp.bfloat16) casts
+    each input chunk for serving-precision inference; pass params already
+    cast (see cast_for_serving). Logits always return as float32.
     """
     n = x.shape[0]
     chunk = min(chunk, max(1, n))
     outs = []
     for start, size in chunked(n, chunk):
         bx = pad_to(x[start:start + size], chunk)
-        out = np.asarray(forward(params, batch_stats, bx))
+        if dtype is not None:
+            bx = jnp.asarray(bx, dtype)
+        out = forward(params, batch_stats, bx)
+        out = np.asarray(out.astype(jnp.float32) if dtype is not None else out)
         outs.append(np.take(out, np.arange(size), axis=batch_axis))
     return np.concatenate(outs, axis=batch_axis)
+
+
+def cast_for_serving(tree, dtype):
+    """Cast every float32 leaf (weights/stats) to the serving dtype."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if getattr(a, "dtype", None) == jnp.float32 else a, tree)
 
 
 def fit(model,

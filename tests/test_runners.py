@@ -192,3 +192,15 @@ def test_writer_receives_repeat_summaries_and_aggregates():
     assert {"aggregate/accuracy_avg", "aggregate/accuracy_std",
             "aggregate/time_train_avg",
             "aggregate/time_test_avg"} <= set(agg)
+
+
+def test_csi_runner_bf16_serving_eval():
+    """compute_dtype='bfloat16' runs the final inference in serving precision
+    and lands within tolerance of the f32 metrics (training stays f32)."""
+    results = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = _tiny_cfg("MLP").override({"compute_dtype": dtype})
+        results[dtype] = run_csi_model(cfg, data=_synth())
+    a = results["float32"]["accuracy"]["avg"]
+    b = results["bfloat16"]["accuracy"]["avg"]
+    assert abs(a - b) < 0.1
