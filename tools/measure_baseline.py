@@ -107,3 +107,57 @@ if __name__ == "__main__":
         out[name] = round(MEASURES[name](), 3)
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps({"windows_per_sec_cpu": out}))
+
+
+def measure_detr_training(batch=64, n_iter=5):
+    """Reference torch-CPU TRAINING step (train.py:80-103): augmentation +
+    DETR forward + HungarianMatchingLoss (per-sample scipy) + backward +
+    Adam. The loss's hardcoded `.to('cuda')` (detr.py:508 — SURVEY.md §2.6
+    drift) is neutralized by letting cuda-less `.to` fall back to identity,
+    which is the evident CPU intent."""
+    import torch
+    detr = load_ref_module("detr.py")
+    model = detr.DETR_MultiUser((3000, 270), [10], embedding_time_dim=10,
+                                num_decoder_layers=6, temp_cross=2,
+                                num_queries=5, dim_feedforward=512)
+    model.train()
+    orig_to = torch.Tensor.to
+
+    def safe_to(self, *args, **kw):
+        try:
+            return orig_to(self, *args, **kw)
+        except (RuntimeError, AssertionError):
+            return self
+
+    torch.Tensor.to = safe_to
+    try:
+        loss_fn = detr.HungarianMatchingLoss(
+            cost_class_weight=1.0, aux_loss_weight=0.25,
+            label_smoothing=0.3, class_imbalance_weight=0.25)
+    finally:
+        torch.Tensor.to = orig_to
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    x = torch.randn(batch, 3000, 270)
+    y = torch.zeros(batch, 5, 10)
+    y[torch.arange(batch)[:, None], torch.arange(5)[None, :],
+      torch.randint(0, 10, (batch, 5))] = 1.0
+
+    def step():
+        noise = torch.randn_like(x) * 0.1
+        xb = x + noise
+        scale = torch.rand(xb.size(0), 1) * 0.2 + 0.9
+        xb = xb * scale.unsqueeze(-1)
+        mask = torch.bernoulli(torch.ones_like(xb) * 0.96)
+        xb = xb * mask
+        out = model(xb)
+        l = loss_fn(out, y.float())
+        opt.zero_grad()
+        l.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        step()
+    dt = time.perf_counter() - t0
+    return batch * n_iter / dt
