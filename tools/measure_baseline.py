@@ -161,3 +161,38 @@ def measure_detr_training(batch=64, n_iter=5):
         step()
     dt = time.perf_counter() - t0
     return batch * n_iter / dt
+
+
+def measure_simple_training(fname, cls, batch=64, n_iter=5, pos_weight=4.0):
+    """Reference torch-CPU TRAINING step for a BCE-mode model (train.py's
+    baseline path): augmentation + forward + BCEWithLogits(pos_weight) +
+    backward + Adam."""
+    import torch
+    mod = load_ref_module(fname)
+    model = mod.__dict__[cls]((3000, 270), (54,))
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    loss_fn = torch.nn.BCEWithLogitsLoss(
+        pos_weight=torch.full((54,), float(pos_weight)))
+    x = torch.randn(batch, 3000, 270)
+    y = (torch.rand(batch, 54) < 0.3).float()
+
+    def step():
+        noise = torch.randn_like(x) * 0.1
+        xb = x + noise
+        scale = torch.rand(xb.size(0), 1) * 0.2 + 0.9
+        xb = xb * scale.unsqueeze(-1)
+        mask = torch.bernoulli(torch.ones_like(xb) * 0.96)
+        xb = xb * mask
+        out = model(xb)
+        l = loss_fn(out, y)
+        opt.zero_grad()
+        l.backward()
+        opt.step()
+
+    step()
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        step()
+    dt = time.perf_counter() - t0
+    return batch * n_iter / dt
