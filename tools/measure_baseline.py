@@ -196,3 +196,37 @@ def measure_simple_training(fname, cls, batch=64, n_iter=5, pos_weight=4.0):
         step()
     dt = time.perf_counter() - t0
     return batch * n_iter / dt
+
+
+def measure_video_cpu(n_iter=3):
+    """torch-CPU video inference baselines at the bench shapes.
+
+    torchvision itself is absent in this image; these run our torch
+    reconstructions of its published module graphs (tools/torch_video_refs.py
+    — the same modules the weight-transplant parity proofs validate), so the
+    numbers are the reference architecture on CPU, head included."""
+    import torch
+    sys.path.insert(0, "/root/repo")
+    from tools.torch_video_refs import (MViTRef, R3D18Ref, S3DRef, Swin3DRef)
+
+    configs = [
+        ("ResNet3D-18", R3D18Ref(400), (1, 3, 45, 112, 112)),
+        ("S3D", S3DRef(400), (1, 3, 45, 224, 224)),
+        ("Swin3D-T", Swin3DRef(400), (1, 3, 45, 224, 224)),
+        # temporal_size=46: MViTRef sizes its pos tables as T//2, but the
+        # stride-2 conv on T=45 outputs 23 frames (torchvision quirk)
+        ("MViT-v1", MViTRef("v1", 400, (224, 224), 46), (1, 3, 45, 224, 224)),
+    ]
+    rates = {}
+    for name, model, shape in configs:
+        model.eval()
+        x = torch.randn(*shape)
+        with torch.no_grad():
+            model(x)
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                model(x)
+            dt = time.perf_counter() - t0
+        rates[name] = shape[0] * n_iter / dt
+        print(f"{name}: {rates[name]:.3f} clips/s", flush=True)
+    return rates
