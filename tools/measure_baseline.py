@@ -97,6 +97,8 @@ MEASURES = {
     "CLSTM": lambda: measure_simple("cnn_lstm.py", "CNN_LSTM"),
     "ABLSTM": lambda: measure_simple("ablstm.py", "ABLSTM"),
     "LSTM": lambda: measure_simple("lstm.py", "LSTMM"),
+    "CNN-2D": lambda: measure_cnn2d(),
+    "THAT_ENCODER": lambda: measure_that_encoder(),
 }
 
 
@@ -230,3 +232,23 @@ def measure_video_cpu(n_iter=3):
         rates[name] = shape[0] * n_iter / dt
         print(f"{name}: {rates[name]:.3f} clips/s", flush=True)
     return rates
+
+
+def measure_cnn2d(batch=8, n_iter=10):
+    return measure_simple("cnn_2d.py", "CNN_2D", batch=batch, n_iter=n_iter)
+
+
+def measure_that_encoder(batch=8, n_iter=10):
+    """Reference THAT_ENCODER+DETR decoder inference (that_encoder.py:458)."""
+    import torch
+    mod = load_ref_module("that_encoder.py")
+    model = mod.DETR_MultiUser((3000, 270), [10], temp_cross=2, num_queries=5)
+    model.eval()
+    x = torch.randn(batch, 3000, 270)
+    with torch.no_grad():
+        model(x)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            model(x)
+        dt = time.perf_counter() - t0
+    return batch * n_iter / dt
