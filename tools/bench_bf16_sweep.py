@@ -58,9 +58,12 @@ def main():
     for name, model, bs in (
             ("THAT", csi_models.THAT(out_features=9), 256),
             ("CNN-1D", csi_models.CNN1D(out_features=9), 256),
+            ("CNN-2D", csi_models.CNN2D(out_features=9), 256),
             ("LSTM", csi_models.LSTMModel(out_features=9), 256),
             ("ABLSTM", csi_models.ABLSTM(out_features=9), 256),
-            ("CLSTM", csi_models.CLSTM(out_features=9), 256)):
+            ("CLSTM", csi_models.CLSTM(out_features=9), 256),
+            ("THAT_ENCODER", csi_models.THATEncoderDETR(
+                temp_cross=2.0, num_queries=5, num_decoder_layers=6), 256)):
         chained_rate(model, csi_shape, bs, f"CSI {name}")
 
     from multi_modal_csi_tpu.models.video.resnet3d import ResNet3D18
