@@ -58,6 +58,13 @@ def hungarian_assignment(cost: jnp.ndarray) -> jnp.ndarray:
     scipy solve via jax.pure_callback: one host round trip per step, which is
     still strictly better than the reference's per-SAMPLE scipy loop
     (model/detr.py:532-544).
+
+    Sharding note: under a data-parallel mesh the callback forces a
+    device->host gather of the (B, Q, Q) cost each step (verified correct on
+    an 8-device mesh — tests/test_matching_losses.py). That makes the Q>8
+    path host-bandwidth-bound at scale; Q <= 8 (the reference's entire
+    operating range) stays fully on device. `vmap_method="sequential"`
+    requires jax >= 0.4.31.
     """
     q = cost.shape[-1]
     if q > _MAX_ENUM_QUERIES:

@@ -245,16 +245,20 @@ class LSTM(nn.Module):
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
                 i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
                 g = jnp.tanh(g)
-                c_new = f * c_t.astype(jnp.float32) + i * g
+                c_new = f * c_t + i * g
                 h_new = o * jnp.tanh(c_new)
-                # carry stays in the activation dtype (bf16 training keeps
-                # f32 gate math inside the step, bf16 state between steps);
-                # for f32 inputs these casts are no-ops
-                return (h_new.astype(xs.dtype), c_new.astype(xs.dtype)), \
-                    h_new.astype(xs.dtype)
+                # Gate math is f32 end-to-end (the dots carry
+                # preferred_element_type=f32 and every downstream op inherits
+                # it). The cell state c ALSO stays f32 across steps — it never
+                # feeds a matmul, and rounding it to bf16 each step would
+                # accumulate error in the long-term memory (ADVICE r2 #4).
+                # Only h is cast to the activation dtype so the next step's
+                # MXU dot runs in bf16 under mixed-precision training.
+                return (h_new.astype(xs.dtype), c_new), h_new.astype(xs.dtype)
 
             b = xs.shape[0]
-            init = (jnp.zeros((b, h), xs.dtype), jnp.zeros((b, h), xs.dtype))
+            init = (jnp.zeros((b, h), xs.dtype),
+                    jnp.zeros((b, h), jnp.float32))
             # scan over time: (B, L, F) -> (L, B, F)
             _, ys = jax.lax.scan(step, init, xs.swapaxes(0, 1))
             return ys.swapaxes(0, 1)

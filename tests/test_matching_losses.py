@@ -40,6 +40,25 @@ def test_hungarian_assignment_large_q_host_fallback(rng):
         assert got_total == pytest.approx(want_total, rel=1e-6)
 
 
+def test_hungarian_assignment_large_q_sharded_mesh(rng):
+    """ADVICE r2 #3: the Q>8 pure_callback path must survive GSPMD — jit the
+    solve with the batch axis sharded over the 8-device mesh and check it
+    still matches scipy exactly (the callback forces a device->host gather;
+    correctness, not locality, is the contract)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    q = 11
+    cost = rng.normal(size=(8, q, q)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded = jax.device_put(cost, NamedSharding(mesh, P("data", None, None)))
+    got = np.asarray(jax.jit(hungarian_assignment)(sharded))
+    for b in range(cost.shape[0]):
+        rows, cols = linear_sum_assignment(cost[b])
+        got_total = cost[b][np.arange(q), got[b]].sum()
+        want_total = cost[b][rows, cols].sum()
+        assert got_total == pytest.approx(want_total, rel=1e-6)
+
+
 def test_hungarian_loss_large_q_end_to_end(rng):
     """The full set loss (matching + weighted CE + aux) works past the
     enumeration bound — covers the reference's NUM_QUERIES env knob

@@ -89,28 +89,6 @@ def measure_simple(fname, cls, batch=8, n_iter=10, flat=False):
     return batch * n_iter / dt
 
 
-MEASURES = {
-    "DETR": measure_detr,
-    "THAT": measure_that,
-    "MLP": lambda: measure_simple("mlp.py", "MLP", flat=True, n_iter=30),
-    "CNN-1D": lambda: measure_simple("cnn_1d.py", "CNN_1D", n_iter=30),
-    "CLSTM": lambda: measure_simple("cnn_lstm.py", "CNN_LSTM"),
-    "ABLSTM": lambda: measure_simple("ablstm.py", "ABLSTM"),
-    "LSTM": lambda: measure_simple("lstm.py", "LSTMM"),
-    "CNN-2D": lambda: measure_cnn2d(),
-    "THAT_ENCODER": lambda: measure_that_encoder(),
-}
-
-
-if __name__ == "__main__":
-    which = sys.argv[1:] or ["DETR"]
-    out = {}
-    for name in which:
-        out[name] = round(MEASURES[name](), 3)
-        print(json.dumps({name: out[name]}), flush=True)
-    print(json.dumps({"windows_per_sec_cpu": out}))
-
-
 def measure_detr_training(batch=64, n_iter=5):
     """Reference torch-CPU TRAINING step (train.py:80-103): augmentation +
     DETR forward + HungarianMatchingLoss (per-sample scipy) + backward +
@@ -252,3 +230,27 @@ def measure_that_encoder(batch=8, n_iter=10):
             model(x)
         dt = time.perf_counter() - t0
     return batch * n_iter / dt
+
+# Registry + CLI live at the END of the file so every measure_* above is
+# defined before the CLI runs (a NameError here once broke the CLI while
+# the import-only smoke test stayed green — ADVICE r2 #1).
+MEASURES = {
+    "DETR": measure_detr,
+    "THAT": measure_that,
+    "MLP": lambda: measure_simple("mlp.py", "MLP", flat=True, n_iter=30),
+    "CNN-1D": lambda: measure_simple("cnn_1d.py", "CNN_1D", n_iter=30),
+    "CLSTM": lambda: measure_simple("cnn_lstm.py", "CNN_LSTM"),
+    "ABLSTM": lambda: measure_simple("ablstm.py", "ABLSTM"),
+    "LSTM": lambda: measure_simple("lstm.py", "LSTMM"),
+    "CNN-2D": measure_cnn2d,
+    "THAT_ENCODER": measure_that_encoder,
+}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["DETR"]
+    out = {}
+    for name in which:
+        out[name] = round(MEASURES[name](), 3)
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"windows_per_sec_cpu": out}))
