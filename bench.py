@@ -1,8 +1,15 @@
-"""Benchmark: CSI windows/sec/chip on the flagship DETR inference path.
+"""Benchmark: CSI windows/sec/chip on the flagship DETR inference path,
+plus the video clips/sec/chip axis (S3D) and the flagship's MFU.
 
 Prints ONE JSON line:
   {"metric": "csi_windows_per_sec_per_chip", "value": N, "unit": "windows/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "video_clips_per_sec_per_chip": C,
+   "video_vs_baseline": RV, "mfu": M}
+
+The BASELINE.json north-star is "CSI windows/sec/chip AND video
+clips/sec/chip"; both now ride the same line (VERDICT r2 next #5). `mfu` is
+the DETR step's model-FLOPs utilization: XLA compiled-program cost analysis
+flops x steps/sec / the v5e bf16 peak (197 TFLOP/s).
 
 Methodology (important on relayed/async backends): repeated identical
 executions get result-cached, and block_until_ready can resolve before remote
@@ -28,6 +35,9 @@ import numpy as np
 # PyTorch-CPU reference throughput (windows/sec) for DETR_MultiUser inference
 # on (3000, 270) float32 windows — tools/measure_baseline.py, BASELINE.md.
 PYTORCH_CPU_BASELINE_WPS = 13.12
+# torch-CPU S3D inference at (45, 224, 224) bs4 — BASELINE.md video table.
+PYTORCH_CPU_BASELINE_S3D_CPS = 0.284
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def chained_wps(step, v, x, batch: int, n_short: int = 2,
@@ -74,11 +84,46 @@ def main() -> None:
 
     wps = chained_wps(step, variables, x, batch)
 
+    # MFU from the compiled program's own cost analysis (flops per step),
+    # using the marginal steps/sec just measured
+    mfu = None
+    try:
+        cost = step.lower(variables, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops * (wps / batch) / V5E_BF16_PEAK_FLOPS
+    except Exception:
+        pass
+
+    # video axis: S3D bf16 at the BASELINE.md serving config (bs4, 45 frames)
+    from multi_modal_csi_tpu.models.video.s3d import S3D
+    vbatch = 4
+    vmodel = S3D(out_features=9)
+    vx = jnp.asarray(np.random.default_rng(1).normal(
+        size=(vbatch, 45, 224, 224, 3)), dtype)
+    vv = vmodel.init({"params": jax.random.PRNGKey(1)},
+                     vx[:2].astype(jnp.float32), train=False)
+    vv = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, vv)
+
+    @jax.jit
+    def vstep(v, x):
+        out = vmodel.apply(v, x, train=False)
+        nxt = x + jnp.asarray(1e-6, x.dtype) * jnp.mean(out).astype(x.dtype)
+        return nxt, out
+
+    cps = chained_wps(vstep, vv, vx, vbatch)
+
     print(json.dumps({
         "metric": "csi_windows_per_sec_per_chip",
         "value": round(wps, 2),
         "unit": "windows/s",
         "vs_baseline": round(wps / PYTORCH_CPU_BASELINE_WPS, 2),
+        "video_clips_per_sec_per_chip": round(cps, 2),
+        "video_vs_baseline": round(cps / PYTORCH_CPU_BASELINE_S3D_CPS, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }))
 
 

@@ -138,9 +138,11 @@ class Config:
     profile_dir: Optional[str] = None
     # numerics for the FINAL test-set inference (the serving path):
     # "float32" reproduces the reference's numerics (default — training is
-    # always f32 like the reference); "bfloat16" casts the best weights and
-    # eval batches to bf16 with f32 MXU accumulation — the serving
-    # configuration measured in BASELINE.md (up to 2.9x inference speedup).
+    # always f32 like the reference); "bfloat16" FORCES bf16 serving;
+    # "auto" picks the per-model measured best from the BASELINE.md r2
+    # sweep (bf16 for every CSI model and the conv video backbones, f32
+    # for Swin/MViT whose attention gains nothing from bf16 at serving
+    # batch sizes) — see resolve_serving_dtype.
     compute_dtype: str = "float32"
 
     # ------------------------------------------------------------------ #
@@ -233,3 +235,35 @@ def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
         else:
             flat[key] = v
     return flat
+
+
+# ---------------------------------------------------------------------- #
+# serving dtype resolution (BASELINE.md r2 bf16 sweep; VERDICT r2 next #8)
+# ---------------------------------------------------------------------- #
+
+# Measured per-model serving winners at the BASELINE.md batch sizes:
+# bf16 speeds up every CSI model (1.2-2.9x) and the conv video backbones
+# (ResNet3D +2%, S3D +16%), but SLOWS Swin3D-T (63.0 -> 56.8 clips/s) and
+# MViT-v1 (52.3 -> 35.6) — their f32-accumulated attention einsums gain
+# nothing from bf16 inputs while LayerNorm/residual convert traffic grows.
+SERVING_DTYPE_DEFAULTS: Dict[str, str] = {
+    # video
+    "ResNet": "bfloat16",
+    "S3D": "bfloat16",
+    "Swin-T": "float32",
+    "Swin-S": "float32",
+    "MViT-v1": "float32",
+    "MViT-v2": "float32",
+}
+_SERVING_DEFAULT_OTHER = "bfloat16"     # every CSI model measured faster
+
+
+def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
+    """Map cfg.compute_dtype x model -> concrete serving dtype string.
+
+    "auto" consults the measured table (unknown models fall back to bf16 —
+    the CSI-wide winner); explicit "float32"/"bfloat16" always win.
+    """
+    if compute_dtype != "auto":
+        return compute_dtype
+    return SERVING_DTYPE_DEFAULTS.get(model_name, _SERVING_DEFAULT_OTHER)

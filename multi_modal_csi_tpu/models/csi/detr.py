@@ -101,17 +101,22 @@ class TransformerDecoderLayer(nn.Module):
     temperature: float = 1.0
 
     @nn.compact
-    def __call__(self, tgt, memory, query_pos, train: bool = False):
+    def __call__(self, tgt, memory, query_pos, train: bool = False,
+                 kv=None, return_kv: bool = False):
         det = not train
         t2 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
                                 name="self_attn")(tgt, tgt, tgt, deterministic=det)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=det)(t2)
         tgt = LayerNorm(name="norm1")(tgt)
 
-        t2 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
-                                output_scale=self.temperature,
-                                name="cross_attn")(tgt + query_pos, memory,
-                                                   memory, deterministic=det)
+        # kv: hoisted memory K/V projection for weight-shared stacks — the
+        # shared layer would otherwise re-project the SAME memory with the
+        # SAME weights every depth iteration (nn/layers.py MHA docstring)
+        t2, kv = MultiheadAttention(self.d_model, self.nhead, self.dropout,
+                                    output_scale=self.temperature,
+                                    name="cross_attn")(tgt + query_pos, memory,
+                                                       memory, deterministic=det,
+                                                       kv=kv, return_kv=True)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=det)(t2)
         tgt = LayerNorm(name="norm2")(tgt)
 
@@ -120,7 +125,10 @@ class TransformerDecoderLayer(nn.Module):
         t2 = nn.Dropout(self.dropout, deterministic=det)(t2)
         t2 = Linear(self.d_model, xavier=False, name="ffn_down")(t2)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=det)(t2)
-        return LayerNorm(name="norm3")(tgt)
+        tgt = LayerNorm(name="norm3")(tgt)
+        if return_kv:
+            return tgt, kv
+        return tgt
 
 
 class TransformerDecoder(nn.Module):
@@ -154,8 +162,10 @@ class TransformerDecoder(nn.Module):
                                      (b, *self.query_embed.shape))
         output = jnp.zeros_like(query_pos)
         preds = []
+        kv = None
         for _ in range(self.num_layers):
-            output = self.layer(output, memory, query_pos, train)
+            output, kv = self.layer(output, memory, query_pos, train,
+                                    kv=kv, return_kv=True)
             preds.append(self.class_embed(output))
         return jnp.stack(preds)          # (L, B, Q, C)
 

@@ -86,8 +86,10 @@ class THATEncoderDecoder(nn.Module):
                                      (b, *self.query_embed.shape))
         output = jnp.zeros_like(query_pos)
         preds = []
-        for i in range(self.num_layers):
-            output = self.layer(output, memory, query_pos, train)
+        kv = None       # hoist the 420-token memory K/V out of the depth
+        for i in range(self.num_layers):   # loop (~31% of model FLOPs, r3)
+            output, kv = self.layer(output, memory, query_pos, train,
+                                    kv=kv, return_kv=True)
             preds.append(self.class_heads[i](self.norm(output)))
         preds.append(self.class_heads[-1](self.norm(output)))
         return jnp.stack(preds)                     # (L+1, B, Q, C)

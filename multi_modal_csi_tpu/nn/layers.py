@@ -112,29 +112,71 @@ class Conv2d(nn.Module):
         )(x)
 
 
+class _TorchBNCore(nn.Module):
+    """torch-exact BatchNorm core (named "bn" to keep the param-tree layout).
+
+    Differs from flax nn.BatchNorm in ONE observable way: the running-variance
+    update uses the UNBIASED batch variance (×n/(n-1)) exactly as torch does
+    (torch.nn.modules.batchnorm — "update the running var with unbiased var"),
+    while normalization itself uses the biased variance on both sides. Eval
+    reads running stats, so the reference's best-weight selection and reported
+    accuracy depend on this; flax's biased update diverges ~n/(n-1) (6.7% for
+    the MLP's batch-16 BatchNorm1d). Verified by the torch train-step parity
+    tests (tests/test_torch_parity.py).
+    """
+    momentum: float = 0.1          # torch convention: new = (1-m)*old + m*cur
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = math.prod(x.shape[a] for a in axes)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            # E[x^2] - E[x]^2, like flax/torch batch stats; under a
+            # batch-sharded mesh the means are global (GSPMD inserts the
+            # collectives), preserving single-device numerics under DP
+            # (SURVEY.md §7 hard part #5)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(jnp.result_type(x.dtype, scale.dtype))
+
+
 class BatchNorm(nn.Module):
     """BatchNorm over the trailing feature axis of (B, ..., C).
 
-    torch BatchNorm1d/2d semantics: eps 1e-5, running-stat momentum 0.1
-    (flax momentum = 0.9), affine. Under jit with a batch-sharded mesh the
-    batch statistics are computed over the GLOBAL batch automatically (GSPMD),
-    which preserves single-device numerics under data parallelism
-    (SURVEY.md §7 hard part #5).
+    torch BatchNorm1d/2d semantics: eps 1e-5, running-stat momentum 0.1,
+    affine, unbiased running-var update (see _TorchBNCore). Under jit with a
+    batch-sharded mesh the batch statistics are computed over the GLOBAL
+    batch automatically (GSPMD), which preserves single-device numerics under
+    data parallelism (SURVEY.md §7 hard part #5).
     """
     use_running_average: Optional[bool] = None
-    momentum: float = 0.9
+    momentum: float = 0.9          # flax convention kept for the public knob
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         ura = nn.merge_param("use_running_average",
                              self.use_running_average, use_running_average)
-        return nn.BatchNorm(
-            use_running_average=ura,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            name="bn",
-        )(x)
+        return _TorchBNCore(momentum=1.0 - self.momentum,
+                            epsilon=self.epsilon, name="bn")(x, ura)
 
 
 def avg_pool1d(x, kernel: int, stride: Optional[int] = None):
@@ -179,20 +221,32 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, deterministic: bool = True,
-                 mask: Optional[jnp.ndarray] = None):
+                 mask: Optional[jnp.ndarray] = None,
+                 kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 return_kv: bool = False):
+        """`kv`/`return_kv` let weight-SHARED decoder stacks hoist the K/V
+        projection of a static memory out of the depth loop: the shared
+        layer projects the same memory with the same weights every
+        iteration, and XLA does not CSE across the repeated applications
+        (measured r3 — THAT_ENCODER spends ~31% of its FLOPs there).
+        Numerically identical: it is the very same computation, done once."""
         e, h = self.embed_dim, self.num_heads
         assert e % h == 0, "embed_dim must divide num_heads"
         d = e // h
         in_proj_w = self.param("in_proj_weight", xavier_uniform(), (e, 3 * e))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
         q = jnp.dot(query, in_proj_w[:, :e], preferred_element_type=jnp.float32) + in_proj_b[:e]
-        k = jnp.dot(key, in_proj_w[:, e:2 * e], preferred_element_type=jnp.float32) + in_proj_b[e:2 * e]
-        v = jnp.dot(value, in_proj_w[:, 2 * e:], preferred_element_type=jnp.float32) + in_proj_b[2 * e:]
 
         def split(t):  # (B, L, E) -> (B, H, L, D)
             return t.reshape(*t.shape[:-1], h, d).swapaxes(-3, -2)
 
-        q, k, v = split(q), split(k), split(v)
+        if kv is None:
+            k = jnp.dot(key, in_proj_w[:, e:2 * e], preferred_element_type=jnp.float32) + in_proj_b[e:2 * e]
+            v = jnp.dot(value, in_proj_w[:, 2 * e:], preferred_element_type=jnp.float32) + in_proj_b[2 * e:]
+            k, v = split(k), split(v)
+        else:
+            k, v = kv
+        q = split(q)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) / math.sqrt(d)
         if mask is not None:
@@ -209,7 +263,10 @@ class MultiheadAttention(nn.Module):
         out = jnp.dot(ctx, out_w, preferred_element_type=jnp.float32) + out_b
         if self.output_scale != 1.0:
             out = out * (1.0 / self.output_scale)
-        return out.astype(query.dtype)
+        out = out.astype(query.dtype)
+        if return_kv:
+            return out, (k, v)
+        return out
 
 
 class LSTM(nn.Module):

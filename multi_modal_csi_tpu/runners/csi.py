@@ -337,9 +337,10 @@ def run_csi_model(cfg: Config,
         # final test-set inference — the serving path. compute_dtype
         # "bfloat16" casts weights + eval batches (BASELINE.md serving
         # tables); training above stayed f32 like the reference.
+        from ..core.config import resolve_serving_dtype
         eval_params, eval_stats, eval_dtype = (
             fitres.best_params, fitres.best_batch_stats, None)
-        if cfg.compute_dtype == "bfloat16":
+        if resolve_serving_dtype(cfg.compute_dtype, key) == "bfloat16":
             import jax.numpy as jnp
             eval_dtype = jnp.bfloat16
             eval_params = cast_for_serving(eval_params, eval_dtype)

@@ -231,11 +231,13 @@ def run_video_model(cfg: Config,
                             init_variables=init_variables)
         t1 = time.time()
         forward = make_eval_fn(model)
-        # final inference — serving path; compute_dtype="bfloat16" casts
-        # weights+stats (training above stayed f32 like the reference)
+        # final inference — serving path. compute_dtype "auto" consults the
+        # per-model measured table (core/config.py::SERVING_DTYPE_DEFAULTS —
+        # bf16 HURTS Swin/MViT at serving batches); "bfloat16" forces.
+        from ..core.config import resolve_serving_dtype
         ep, es = best
         dtype = None
-        if cfg.compute_dtype == "bfloat16":
+        if resolve_serving_dtype(cfg.compute_dtype, cfg.model) == "bfloat16":
             dtype = jnp.bfloat16
             ep = cast_for_serving(ep, dtype)
             es = cast_for_serving(es, dtype)

@@ -1,0 +1,76 @@
+"""Two-process jax.distributed smoke test for
+parallel/mesh.py::initialize_distributed (VERDICT r2 next #7; SURVEY §5.8).
+
+Spawns two fresh CPU processes against a localhost coordinator, initializes
+through OUR wrapper, and asserts: global device count = 2 x local, and one
+cross-process psum produces the right value on both ranks.
+
+This is the multi-host DCN entry path — everything else in the suite runs
+single-process on the 8-device virtual mesh.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from multi_modal_csi_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed(coordinator_address={coord!r},
+                           num_processes=2,
+                           process_id=int(os.environ["RANK"]))
+    assert jax.process_count() == 2, jax.process_count()
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
+    assert n_global == 2 * n_local, (n_global, n_local)
+
+    # one cross-process collective: psum of (rank+1) over all devices
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    rank = jax.process_index()
+    val = multihost_utils.process_allgather(jnp.asarray(float(rank + 1)))
+    assert float(val.sum()) == 3.0, val
+    print(f"RANK{{os.environ['RANK']}}_OK", flush=True)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_init():
+    # (own subprocess timeouts below bound the runtime; no pytest-timeout dep)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    script = _WORKER.format(repo=repo, coord=coord)
+    env_base = {k: v for k, v in os.environ.items()
+                if not k.startswith(("JAX_", "XLA_"))}
+    env_base["JAX_PLATFORMS"] = "cpu"
+    procs = []
+    for rank in range(2):
+        env = dict(env_base, RANK=str(rank))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"rank {rank} timed out")
+        outs.append(out)
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"RANK{rank}_OK" in out, out

@@ -6,8 +6,7 @@ import numpy as np
 import pytest
 
 from multi_modal_csi_tpu.kernels.csi_preprocess import (
-    amplitude_phase, amplitude_phase_reference, pad_normalize,
-    pad_normalize_reference)
+    amplitude_phase, amplitude_phase_reference)
 from multi_modal_csi_tpu.train.augment import apply_augmentation
 
 
@@ -23,35 +22,6 @@ def test_amplitude_phase_matches_reference(rng):
     # amplitude equals |complex|
     np.testing.assert_allclose(np.asarray(amp), np.abs(re + 1j * im),
                                rtol=1e-5)
-
-
-def test_pad_normalize_left_pad_semantics(rng):
-    b, t, f = 4, 16, 8
-    x = rng.normal(size=(b, t, f)).astype(np.float32)
-    lengths = np.array([16, 10, 1, 7], np.int32)
-    out = pad_normalize(jnp.asarray(x), jnp.asarray(lengths), interpret=True)
-    want = pad_normalize_reference(jnp.asarray(x), jnp.asarray(lengths))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
-    # left-pad: first (t - len) rows are zero, data occupies the tail
-    out_np = np.asarray(out)
-    assert (out_np[1, :6] == 0).all()
-    np.testing.assert_allclose(out_np[1, 6:], x[1, :10], rtol=1e-6)
-    # matches the numpy np.pad semantics of load_data.py:70-72
-    np.testing.assert_allclose(
-        out_np[3], np.pad(x[3, :7], ((t - 7, 0), (0, 0))), rtol=1e-6)
-
-
-def test_pad_normalize_with_standardization(rng):
-    b, t, f = 2, 8, 4
-    x = rng.normal(size=(b, t, f)).astype(np.float32) * 3 + 1
-    lengths = np.array([8, 5], np.int32)
-    mean = x.reshape(-1, f).mean(axis=0, keepdims=True).astype(np.float32)
-    std = x.reshape(-1, f).std(axis=0, keepdims=True).astype(np.float32)
-    out = pad_normalize(jnp.asarray(x), jnp.asarray(lengths),
-                        jnp.asarray(mean), jnp.asarray(std), interpret=True)
-    want = pad_normalize_reference(jnp.asarray(x), jnp.asarray(lengths),
-                                   jnp.asarray(mean), jnp.asarray(std))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5)
 
 
 def test_augmentation_shapes_and_changes(rng):

@@ -74,28 +74,11 @@ def _encoder_block(dst, params, stats, n_convs):
         _bn(seq[1], params[f"cnn_bn_{i}"], stats[f"cnn_bn_{i}"])
 
 
-def check_detr(atol=2e-4) -> float:
-    import jax
-    import jax.numpy as jnp
-    import torch
-    from multi_modal_csi_tpu.models.csi.detr import DETRMultiUser
-
-    # T must be 3000: the reference hardcodes the post-pool length 1000 in
-    # its final-conv kernel computation (detr.py:274)
-    T, F = 3000, 270
-    model = DETRMultiUser(token_length=10, num_decoder_layers=3,
-                          temp_cross=2.0, num_queries=5, dim_feedforward=512)
-    x = np.random.default_rng(0).normal(size=(2, T, F)).astype(np.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           jnp.asarray(x), train=False)
+def transplant_detr(tm, variables):
+    """Write a DETRMultiUser flax variable tree into the reference torch
+    module's parameters/buffers (shared by forward- and train-parity)."""
     p = variables["params"]
     s = variables["batch_stats"]
-
-    ref = load_ref_module("detr.py")
-    tm = ref.DETR_MultiUser((T, F), [10], embedding_time_dim=10,
-                            num_decoder_layers=3, temp_cross=2,
-                            num_queries=5, dim_feedforward=512)
-    tm.eval()
 
     # feature extractor
     fe_p, fe_s = p["feature_extractor"], s["feature_extractor"]
@@ -132,6 +115,29 @@ def check_detr(atol=2e-4) -> float:
     _linear(layer.ffn[3], lp["ffn_down"])
     _linear(tm.decoder.class_embed, dec_p["class_embed"])
 
+
+def check_detr(atol=2e-4) -> float:
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from multi_modal_csi_tpu.models.csi.detr import DETRMultiUser
+
+    # T must be 3000: the reference hardcodes the post-pool length 1000 in
+    # its final-conv kernel computation (detr.py:274)
+    T, F = 3000, 270
+    model = DETRMultiUser(token_length=10, num_decoder_layers=3,
+                          temp_cross=2.0, num_queries=5, dim_feedforward=512)
+    x = np.random.default_rng(0).normal(size=(2, T, F)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+
+    ref = load_ref_module("detr.py")
+    tm = ref.DETR_MultiUser((T, F), [10], embedding_time_dim=10,
+                            num_decoder_layers=3, temp_cross=2,
+                            num_queries=5, dim_feedforward=512)
+    tm.eval()
+    transplant_detr(tm, variables)
+
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
@@ -142,22 +148,9 @@ def check_detr(atol=2e-4) -> float:
     return err
 
 
-def check_that(atol=2e-4) -> float:
-    import jax
-    import jax.numpy as jnp
-    import torch
-    from multi_modal_csi_tpu.models.csi.that import THAT
-
-    T, F = 400, 270   # T/20 = 20 tokens (left conv k16 needs >= 16)
-    model = THAT(out_features=54)
-    x = np.random.default_rng(1).normal(size=(2, T, F)).astype(np.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           jnp.asarray(x), train=False)
+def transplant_that(tm, variables):
+    """Write a THAT flax variable tree into the reference torch module."""
     p, s = variables["params"], variables["batch_stats"]
-
-    ref = load_ref_module("that.py")
-    tm = ref.THAT((T, F), (54,))
-    tm.eval()
     tp, ts = p["trunk"], s["trunk"]
     _gaussian(tm.layer_left_gaussian, tp["gaussian"])
     for i in range(4):
@@ -173,6 +166,24 @@ def check_that(atol=2e-4) -> float:
     _conv1d(tm.layer_right_cnn_0, {"conv": tp["right_cnn_0"]["conv"]})
     _conv1d(tm.layer_right_cnn_1, {"conv": tp["right_cnn_1"]["conv"]})
     _linear(tm.layer_output, p["head"])
+
+
+def check_that(atol=2e-4) -> float:
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from multi_modal_csi_tpu.models.csi.that import THAT
+
+    T, F = 400, 270   # T/20 = 20 tokens (left conv k16 needs >= 16)
+    model = THAT(out_features=54)
+    x = np.random.default_rng(1).normal(size=(2, T, F)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+
+    ref = load_ref_module("that.py")
+    tm = ref.THAT((T, F), (54,))
+    tm.eval()
+    transplant_that(tm, variables)
 
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
@@ -201,6 +212,14 @@ def _bn_direct(dst, p, s):
     _bn(dst, p, s)
 
 
+def transplant_mlp(tm, v):
+    """Write an MLP flax variable tree into the reference torch module."""
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    _linear(tm.layer_0, v["params"]["layer_0"])
+    _linear(tm.layer_1, v["params"]["layer_1"])
+    _linear(tm.layer_2, v["params"]["layer_2"])
+
+
 def check_mlp(atol=1e-4):
     import jax, jax.numpy as jnp, torch
     from multi_modal_csi_tpu.models.csi.mlp import MLP
@@ -210,10 +229,7 @@ def check_mlp(atol=1e-4):
     v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     ref = load_ref_module("mlp.py")
     tm = ref.MLP((F,), (54,)); tm.eval()
-    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
-    _linear(tm.layer_0, v["params"]["layer_0"])
-    _linear(tm.layer_1, v["params"]["layer_1"])
-    _linear(tm.layer_2, v["params"]["layer_2"])
+    transplant_mlp(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
