@@ -3,14 +3,74 @@
 Reference: benchmark/wifi_csi/model/cnn_2d.py:23-99 — per-stage BatchNorm2d,
 Conv2d stages (32/k27/s7, 64/k15/s3, 128/k7/s1), LeakyReLU + Dropout(0.2),
 global mean pool, Linear head; xavier weights. Trained with BCE pos_weight=6.
+
+TPU note (r3 roofline): the single-input-channel 27x27/s7 first conv was
+~100% of this model's runtime as a direct XLA conv (stage-0-only marginal ==
+full-model marginal on chip) — a C_in=1 conv starves the MXU's 128-deep
+contraction. `_Stage0Conv` reformulates it EXACTLY: stride 7 factors each
+kernel tap dt into (qt, pt) = (dt // 7, dt % 7), so gathering the 7x7
+stride phases into 49 channels (space-to-depth) turns the op into a k(4,4)
+stride-1 conv with contraction 4*4*49 = 784 (the taps beyond 27 are
+zero-padded kernel entries). The stored parameter keeps the reference
+shape (27, 27, 1, 32) under the same tree path; the rearrangement happens
+in-graph. Equivalence to the direct conv is pinned by
+tests/test_csi_models.py and to the reference torch module by
+tools/parity_check.py::check_cnn2d.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from ...nn.init import torch_bias, xavier_uniform
 from ...nn.layers import BatchNorm, Conv2d, Linear, leaky_relu
+
+
+class _Stage0Params(nn.Module):
+    """Declares kernel/bias with Conv2d's exact names, shapes and inits so
+    the param tree is indistinguishable from Conv2d(name=...)'s nn.Conv."""
+    features: int = 32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_uniform(),
+                            (27, 27, 1, self.features))
+        bias = self.param("bias", torch_bias(27 * 27), (self.features,))
+        return kernel, bias
+
+
+class _Stage0Conv(nn.Module):
+    """k(27,27)/s(7,7) C_in=1 conv via 7x7 space-to-depth (see module
+    docstring). Output identical to the direct conv up to f32 summation
+    order."""
+    features: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel, bias = _Stage0Params(self.features, name="conv")()
+        b = x.shape[0]
+        out_t = (x.shape[1] - 27) // 7 + 1
+        out_f = (x.shape[2] - 27) // 7 + 1
+        nt, nf = out_t + 3, out_f + 3          # s2d rows/cols needed
+        # crop-or-zero-pad to the (nt*7, nf*7) s2d grid: padded positions
+        # are only ever multiplied by the zero-padded kernel taps (dt > 26)
+        xr = x[:, :nt * 7, :nf * 7, 0]
+        pad_t, pad_f = nt * 7 - xr.shape[1], nf * 7 - xr.shape[2]
+        if pad_t or pad_f:
+            xr = jnp.pad(xr, ((0, 0), (0, pad_t), (0, pad_f)))
+        xr = xr.reshape(b, nt, 7, nf, 7)
+        xr = xr.transpose(0, 1, 3, 2, 4).reshape(b, nt, nf, 49)
+        # kernel (27,27,1,C) -> pad (28,28,C) -> (4,7,4,7,C) -> (4,4,49,C)
+        k = jnp.pad(kernel[:, :, 0, :], ((0, 1), (0, 1), (0, 0)))
+        k = k.reshape(4, 7, 4, 7, -1).transpose(0, 2, 1, 3, 4)
+        k = k.reshape(4, 4, 49, -1).astype(xr.dtype)
+        y = jax.lax.conv_general_dilated(
+            xr, k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return (y + bias).astype(x.dtype)
 
 
 class CNN2D(nn.Module):
@@ -25,7 +85,10 @@ class CNN2D(nn.Module):
                   (128, (7, 7), (1, 1))]
         for i, (feat, k, s) in enumerate(stages):
             x = BatchNorm(name=f"norm_{i}")(x, use_running_average=not train)
-            x = Conv2d(feat, k, stride=s, name=f"conv_{i}")(x)
+            if i == 0:
+                x = _Stage0Conv(feat, name=f"conv_{i}")(x)
+            else:
+                x = Conv2d(feat, k, stride=s, name=f"conv_{i}")(x)
             x = leaky_relu(x)
             x = nn.Dropout(0.2, deterministic=not train)(x)
         x = BatchNorm(name="norm_3")(x, use_running_average=not train)

@@ -159,3 +159,25 @@ def test_strf_pipeline():
     assert feats.shape == (20, 6 * 9)
     pred = M.fit_predict_strf(x_train, y_train, x_test, seed=39)
     assert pred.shape == (8, 54)
+
+
+def test_cnn2d_stage0_space_to_depth_equivalence(rng):
+    """The r3 TPU fast path (7x7 space-to-depth + k4x4/49ch conv) must equal
+    the direct k27x27/s7 C_in=1 conv exactly (up to f32 summation order) —
+    including shapes where the s2d grid needs zero-padding."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.models.csi.cnn_2d import _Stage0Conv
+    for t, f in [(300, 270), (100, 100), (27, 27)]:
+        x = jnp.asarray(rng.normal(size=(2, t, f, 1)).astype(np.float32))
+        m = _Stage0Conv(32)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x)
+        got = m.apply(v, x)
+        k = v["params"]["conv"]["kernel"]
+        b = v["params"]["conv"]["bias"]
+        want = jax.lax.conv_general_dilated(
+            x, k, (7, 7), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)

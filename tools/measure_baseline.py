@@ -212,6 +212,50 @@ def measure_video_cpu(n_iter=3):
     return rates
 
 
+def measure_video_training_cpu(n_iter=2):
+    """torch-CPU video TRAINING baselines (reference video engine hot loop,
+    video/train.py:19-103: forward + BCEWithLogits(pos_weight=1) + backward
+    + Adam(lr 1e-4); no augmentation) at the BASELINE.md batch sizes.
+
+    Same reconstruction caveat as measure_video_cpu: torchvision is absent,
+    so these run our transplant-parity-validated torch replicas."""
+    import torch
+    sys.path.insert(0, "/root/repo")
+    from tools.torch_video_refs import (MViTRef, R3D18Ref, S3DRef, Swin3DRef)
+
+    configs = [
+        ("ResNet3D-18", lambda: R3D18Ref(9), (8, 3, 45, 112, 112)),
+        ("S3D", lambda: S3DRef(9), (4, 3, 45, 224, 224)),
+        ("Swin3D-T", lambda: Swin3DRef(9), (2, 3, 45, 224, 224)),
+        ("MViT-v1", lambda: MViTRef("v1", 9, (224, 224), 46),
+         (2, 3, 45, 224, 224)),
+    ]
+    rates = {}
+    for name, ctor, shape in configs:
+        model = ctor()
+        model.train()
+        opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+        loss_fn = torch.nn.BCEWithLogitsLoss()
+        x = torch.randn(*shape)
+        y = (torch.rand(shape[0], 9) < 0.3).float()
+
+        def step():
+            out = model(x)
+            l = loss_fn(out, y)
+            opt.zero_grad()
+            l.backward()
+            opt.step()
+
+        step()      # warmup
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            step()
+        dt = time.perf_counter() - t0
+        rates[name] = shape[0] * n_iter / dt
+        print(f"{name}: {rates[name]:.4f} clips/s training", flush=True)
+    return rates
+
+
 def measure_cnn2d(batch=8, n_iter=10):
     return measure_simple("cnn_2d.py", "CNN_2D", batch=batch, n_iter=n_iter)
 
