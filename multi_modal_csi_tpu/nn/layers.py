@@ -237,8 +237,12 @@ class MultiheadAttention(nn.Module):
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
         q = jnp.dot(query, in_proj_w[:, :e], preferred_element_type=jnp.float32) + in_proj_b[:e]
 
-        def split(t):  # (B, L, E) -> (B, H, L, D)
-            return t.reshape(*t.shape[:-1], h, d).swapaxes(-3, -2)
+        def split(t):  # (B, L, E) -> (B, L, H, D); heads stay in place —
+            # the einsums below contract in bqhd/bkhd layout directly, so no
+            # physical (B, H, L, D) transpose is ever materialized (the r3
+            # trace showed those copies costing ~0.3-0.6 ms each at THAT
+            # shapes)
+            return t.reshape(*t.shape[:-1], h, d)
 
         if kv is None:
             k = jnp.dot(key, in_proj_w[:, e:2 * e], preferred_element_type=jnp.float32) + in_proj_b[e:2 * e]
@@ -247,17 +251,69 @@ class MultiheadAttention(nn.Module):
         else:
             k, v = kv
         q = split(q)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / math.sqrt(d)
+        # Inference fast path (r3): fused Pallas attention keeps the
+        # (N, N) matrices in VMEM — the XLA path materializes them in HBM
+        # three times per layer (69% of THAT_ENCODER's step, trace r3).
+        # Gated to: no mask, dropout inactive, real sequence lengths, and
+        # TPU execution (CPU tests take the interpret path only when tiny).
+        # q >= 64 too: few-query cross-attention (DETR's 5 decoder queries)
+        # is cheaper in XLA than paying the per-cell grid overhead
+        use_flash = (mask is None
+                     and (self.dropout == 0.0 or deterministic)
+                     and q.shape[1] >= 64 and k.shape[1] >= 64)
+        # Serving dtype is signalled by the PARAM dtype (cast_for_serving):
+        # activations may arrive f32 even in bf16 serving because LayerNorm
+        # promotes — keying on query.dtype silently kept everything f32.
+        act_dtype = jnp.bfloat16 if in_proj_w.dtype == jnp.bfloat16 \
+            else jnp.float32
+        if use_flash:
+            from ..kernels.flash_attention import flash_attention
+            # the projections accumulate in f32; attention runs in the
+            # serving dtype (bf16 halves VMEM + HBM traffic)
+            ctx = flash_attention(q.astype(act_dtype),
+                                  k.astype(act_dtype),
+                                  v.astype(act_dtype))
+            ctx = ctx.reshape(*query.shape[:-1], e)
+            out_w = self.param("out_proj_weight", torch_linear_weight(),
+                               (e, e))
+            out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,))
+            out = jnp.dot(ctx, out_w,
+                          preferred_element_type=jnp.float32) + out_b
+            if self.output_scale != 1.0:
+                out = out * (1.0 / self.output_scale)
+            out = out.astype(query.dtype)
+            if return_kv:
+                return out, (k, v)
+            return out
+
+        # Attention-matrix dtype policy (r3 roofline): the (B, H, N, N)
+        # logits/weights dominate HBM traffic at THAT-family shapes (the
+        # right stream materializes 300 MB/step of f32 logits at bs256). In
+        # bf16 serving, let the MXU round its f32-accumulated logits to bf16
+        # on output and keep the weights bf16 — softmax exp/sum still run in
+        # f32 INSIDE the fusion (register conversions are free; only
+        # materialized buffers pay bandwidth). f32 inputs are bit-identical
+        # to the previous jax.nn.softmax path.
+        mat_dtype = act_dtype
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=mat_dtype) / math.sqrt(d)
         if mask is not None:
-            logits = jnp.where(mask, logits, -jnp.inf)
-        weights = jax.nn.softmax(logits, axis=-1)
+            logits = jnp.where(mask, logits,
+                               jnp.asarray(-jnp.inf, logits.dtype))
+        lmax = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        # keep the (B, H, N, N) exp in mat_dtype: XLA materializes this
+        # intermediate (two consumers), and an f32 copy of the right-stream
+        # matrix is 298 MB/step at bs256 — the r3 trace showed that single
+        # fusion costing 2.4 ms. The sum still accumulates in f32.
+        unnorm = jnp.exp(logits - lmax)
+        weights = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True,
+                                    dtype=jnp.float32).astype(mat_dtype))
         if self.dropout > 0.0:
             weights = nn.Dropout(self.dropout, deterministic=deterministic,
                                  name="attn_drop")(weights)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
                          preferred_element_type=jnp.float32)
-        ctx = ctx.swapaxes(-3, -2).reshape(*query.shape[:-1], e)
+        ctx = ctx.reshape(*query.shape[:-1], e)
         out_w = self.param("out_proj_weight", torch_linear_weight(), (e, e))
         out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,))
         out = jnp.dot(ctx, out_w, preferred_element_type=jnp.float32) + out_b

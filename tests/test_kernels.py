@@ -43,3 +43,33 @@ def test_augmentation_statistics(rng):
     assert 0.005 < zero_frac < 0.12
     nonzero = out[out != 0]
     assert abs(nonzero.mean() - 1.0) < 0.1
+
+
+def test_flash_attention_matches_reference(rng):
+    """Fused Pallas attention (r3) vs the unfused jnp oracle across the
+    production shapes: THAT left (150 tok, d27), THAT right (270 tok, d15),
+    THAT_ENCODER right (270 tok, d27), decoder memory (420 tok, d45),
+    including non-divisible batch blocks."""
+    from multi_modal_csi_tpu.kernels.flash_attention import (
+        flash_attention, flash_attention_reference)
+    for b, n, h, d in [(8, 150, 10, 27), (6, 270, 10, 15),
+                       (4, 270, 10, 27), (2, 420, 6, 45), (3, 96, 5, 16)]:
+        q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+        got = flash_attention(q, k, v, interpret=True)
+        want = flash_attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+
+def test_flash_attention_cross_shapes(rng):
+    """Cross-attention: query and key lengths differ."""
+    from multi_modal_csi_tpu.kernels.flash_attention import (
+        flash_attention, flash_attention_reference)
+    q = jnp.asarray(rng.normal(size=(4, 128, 6, 45)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(4, 420, 6, 45)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(4, 420, 6, 45)).astype(np.float32))
+    got = flash_attention(q, k, v, interpret=True)
+    want = flash_attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
