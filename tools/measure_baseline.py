@@ -227,7 +227,11 @@ def measure_video_training_cpu(n_iter=2):
         ("ResNet3D-18", lambda: R3D18Ref(9), (8, 3, 45, 112, 112)),
         ("S3D", lambda: S3DRef(9), (4, 3, 45, 224, 224)),
         ("Swin3D-T", lambda: Swin3DRef(9), (2, 3, 45, 224, 224)),
+        ("Swin3D-S", lambda: Swin3DRef(9, depths=(2, 2, 18, 2)),
+         (2, 3, 45, 224, 224)),
         ("MViT-v1", lambda: MViTRef("v1", 9, (224, 224), 46),
+         (2, 3, 45, 224, 224)),
+        ("MViT-v2", lambda: MViTRef("v2", 9, (224, 224), 46),
          (2, 3, 45, 224, 224)),
     ]
     rates = {}
