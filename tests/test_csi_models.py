@@ -181,3 +181,27 @@ def test_cnn2d_stage0_space_to_depth_equivalence(rng):
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+
+def test_that_bf16_serving_close_to_f32(rng):
+    """bf16 serving (params cast, flash attention in bf16 with f32 softmax
+    accumulation) must stay close to the f32 forward — guards the serving
+    path against dtype regressions in the attention kernel (r3)."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.models.csi.that import THAT
+    model = THAT(out_features=54)
+    x = jnp.asarray(rng.normal(size=(2, 400, 270)).astype(np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out32 = np.asarray(model.apply(v, x, train=False))
+    vb = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v)
+    outb = np.asarray(model.apply(vb, x.astype(jnp.bfloat16),
+                                  train=False).astype(jnp.float32))
+    # logits live in roughly [-10, 10]; bf16 end-to-end error budget
+    assert np.abs(outb - out32).max() < 0.35, np.abs(outb - out32).max()
+    # and the induced decisions barely move: sign agreement on confident
+    # logits (|logit| > 0.5)
+    confident = np.abs(out32) > 0.5
+    agree = (np.sign(outb[confident]) == np.sign(out32[confident])).mean()
+    assert agree > 0.99, agree
