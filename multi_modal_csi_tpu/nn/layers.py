@@ -257,9 +257,12 @@ class MultiheadAttention(nn.Module):
         # Gated to: no mask, dropout inactive, real sequence lengths, and
         # TPU execution (CPU tests take the interpret path only when tiny).
         # q >= 64 too: few-query cross-attention (DETR's 5 decoder queries)
-        # is cheaper in XLA than paying the per-cell grid overhead
-        use_flash = (mask is None
-                     and (self.dropout == 0.0 or deterministic)
+        # is cheaper in XLA than paying the per-cell grid overhead.
+        # `deterministic` gates STRICTLY to eval: the kernel has no VJP, and
+        # training must keep the XLA path's exact softmax gradients anyway
+        # (callers pass deterministic=not train, so a dropout-free training
+        # step still routes XLA — caught by the train-parity suite r3).
+        use_flash = (mask is None and deterministic
                      and q.shape[1] >= 64 and k.shape[1] >= 64)
         # Serving dtype is signalled by the PARAM dtype (cast_for_serving):
         # activations may arrive f32 even in bf16 serving because LayerNorm
