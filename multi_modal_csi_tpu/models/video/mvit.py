@@ -104,9 +104,29 @@ def _rel_distances(q_size: int, k_size: int) -> np.ndarray:
     return dist.astype(np.int64)       # .long() truncation, non-negative
 
 
+def _rel_scatter_matrix(k_t: int, k_h: int, k_w: int) -> np.ndarray:
+    """(k_t + k_h + k_w, K) 0/1 selector: row j scatters the j-th decomposed
+    rel component over every key position that shares that t/h/w index."""
+    kk = k_t * k_h * k_w
+    s = np.zeros((k_t + k_h + k_w, kk), np.float32)
+    kar = np.arange(kk)
+    s[kar // (k_h * k_w), kar] = 1.0                       # t component
+    s[k_t + (kar // k_w) % k_h, kar] = 1.0                 # h component
+    s[k_t + k_h + kar % k_w, kar] = 1.0                    # w component
+    return s
+
+
 def _add_rel_pos(attn, q, q_thw: THW, k_thw: THW, rel_h, rel_w, rel_t):
     """Decomposed relative position bias on attn[:, :, 1:, 1:] (class token
-    rows/cols excluded), exactly torchvision's _add_rel_pos."""
+    rows/cols excluded) — torchvision's _add_rel_pos semantics, computed as
+    a one-hot-selector MATMUL instead of a broadcast-add over the 8-D
+    (q_t, q_h, q_w, k_t, k_h, k_w) tensor. Reason (r3 trace): the
+    broadcast-add's VJP materializes the full 8-D gradient and runs three
+    reductions over non-minor axes, each behind a physical transpose —
+    343 ms/step of transposes at MViT-v2's stage-1 sizes, making v2 train
+    4x slower than v1. A matmul's VJP is a matmul: the scatter pattern
+    becomes a static (k_t + k_h + k_w, K) 0/1 matrix contraction (a few
+    GFLOP on the MXU). Numerically identical up to f32 summation order."""
     q_t, q_h, q_w = q_thw
     k_t, k_h, k_w = k_thw
     Rh = interpolate_table(rel_h, 2 * max(q_h, k_h) - 1)
@@ -118,13 +138,17 @@ def _add_rel_pos(attn, q, q_thw: THW, k_thw: THW, rel_h, rel_w, rel_t):
 
     b, heads, _, d = q.shape
     r_q = q[:, :, 1:].reshape(b, heads, q_t, q_h, q_w, d)
-    rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh)
-    rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw)
-    rel_t_q = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt)
-    rel = (rel_h_q[:, :, :, :, :, None, :, None]
-           + rel_w_q[:, :, :, :, :, None, None, :]
-           + rel_t_q[:, :, :, :, :, :, None, None])
-    rel = rel.reshape(b, heads, q_t * q_h * q_w, k_t * k_h * k_w)
+    rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh)    # (..., k_h)
+    rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw)    # (..., k_w)
+    rel_t_q = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt)    # (..., k_t)
+    qq = q_t * q_h * q_w
+    r_cat = jnp.concatenate([
+        rel_t_q.reshape(b, heads, qq, k_t),
+        rel_h_q.reshape(b, heads, qq, k_h),
+        rel_w_q.reshape(b, heads, qq, k_w)], axis=-1)
+    scatter = jnp.asarray(_rel_scatter_matrix(k_t, k_h, k_w))
+    rel = jnp.einsum("byqm,mk->byqk", r_cat, scatter,
+                     preferred_element_type=jnp.float32)
     return attn.at[:, :, 1:, 1:].add(rel)
 
 
