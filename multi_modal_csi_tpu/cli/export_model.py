@@ -1,0 +1,98 @@
+"""Export a CSI model's serving forward as a StableHLO artifact.
+
+Usage:
+  python -m multi_modal_csi_tpu.cli.export_model --model DETR --task activity \
+      --batch 256 --out detr_serving.mmcsi [--pretrained PATH] [--dtype auto]
+
+The artifact is self-contained (weights baked in, TPU+CPU lowerings) and is
+reloaded with core.export.serve_file — no model code needed at serving time.
+The reference's equivalent surface is inference_only.py (rebuild module +
+reload .pth); see core/export.py for the design rationale.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from ..core.config import load_config, resolve_serving_dtype
+
+# task -> (per-user class count, baseline flat out_dim, reduced out_dim)
+_TASK_DIMS = {
+    "activity": (9, 6 * 9, 10),
+    "identity": (6, 6, None),
+    "location": (5, 6 * 5, None),
+}
+
+
+def infer_out_dim(model_key: str, task: str) -> int:
+    """The out_features the runner would derive from the encoded labels
+    (runners/csi.py: raw targets flatten per-user one-hots; reduce targets
+    use the 10-class query rows)."""
+    from ..runners.csi import CSI_MODELS
+    spec = CSI_MODELS[model_key]
+    _, flat, reduced = _TASK_DIMS[task]
+    if spec.target.startswith("reduce"):
+        if reduced is None:
+            raise SystemExit(f"{model_key} supports task=activity only")
+        return reduced
+    return flat
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--task", default="activity", choices=sorted(_TASK_DIMS))
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--out", required=True)
+    p.add_argument("--pretrained", default=None,
+                   help="component checkpoint (core.checkpoint.save_components)")
+    p.add_argument("--dtype", default="auto",
+                   help="auto | float32 | bfloat16 (auto = per-model default)")
+    p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("--seed", type=int, default=39)
+    args = p.parse_args()
+
+    from ..core.export import export_serving, save_artifact
+    from ..runners.csi import CSI_MODELS
+
+    if args.model not in CSI_MODELS:
+        raise SystemExit(f"unknown model {args.model}; "
+                         f"choices: {sorted(CSI_MODELS)}")
+    cfg = load_config(None, {"model": args.model, "task": args.task})
+    spec = CSI_MODELS[args.model]
+    out_dim = infer_out_dim(args.model, args.task)
+
+    shape = (args.batch, cfg.data.length * 270) if spec.input_layout == "flat" \
+        else (args.batch, cfg.data.length, 270)
+    model = spec.build(shape[1:], out_dim, cfg)
+    example = jax.ShapeDtypeStruct(shape, np.float32)
+
+    variables = model.init({"params": jax.random.PRNGKey(args.seed)},
+                           np.zeros((1,) + shape[1:], np.float32),
+                           train=False)
+    if args.pretrained:
+        from ..core.checkpoint import restore_scenario
+        params, batch_stats = restore_scenario(
+            variables["params"], variables.get("batch_stats", {}),
+            args.pretrained, "full")
+        variables = {"params": params, **({"batch_stats": batch_stats}
+                                          if batch_stats else {})}
+
+    dtype = resolve_serving_dtype(args.dtype, args.model)
+    blob = export_serving(model, variables, example, serving_dtype=dtype,
+                          platforms=args.platforms.split(","))
+    save_artifact(args.out, blob, {
+        "model": args.model, "task": args.task, "batch": args.batch,
+        "input_shape": list(shape), "serving_dtype": dtype,
+        "platforms": args.platforms.split(","),
+        "pretrained": bool(args.pretrained),
+    })
+    print(f"wrote {args.out}: {args.model}/{args.task} batch={args.batch} "
+          f"dtype={dtype} ({len(blob)/1e6:.2f} MB)")
+
+
+if __name__ == "__main__":
+    main()

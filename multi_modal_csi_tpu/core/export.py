@@ -1,0 +1,93 @@
+"""Serving artifacts: export the compiled forward as portable StableHLO.
+
+The reference's serving story (inference_only.py:11-90) re-imports the model
+code, rebuilds the torch module, strips `torch.compile`'s '_orig_mod.'
+prefixes, and reloads a .pth state dict. The TPU-native equivalent exports
+the jitted forward ONCE via `jax.export`: the artifact is a self-contained,
+versioned StableHLO module with the weights baked in as constants and the
+target platforms recorded — serving deserializes and calls it with NO model
+code, NO Python class, and NO retracing, and the same artifact runs on TPU
+and CPU (multi-platform lowering).
+
+Serving precision: pass `serving_dtype` (or resolve it per model via
+core.config.resolve_serving_dtype) — weights are cast once at export and the
+input is cast in-graph, logits always return float32, matching
+train/loop.py::eval_dataset's serving contract.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAGIC = b"MMCSI-SERVE\x00"
+
+
+def export_serving(model, variables: Any, example_x,
+                   *,
+                   serving_dtype: Optional[str] = None,
+                   platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
+    """Export `model.apply(variables, x, train=False)` as a serving artifact.
+
+    example_x: array or ShapeDtypeStruct fixing the serving batch shape
+    (static shapes — one artifact per batch size, as XLA wants).
+    Returns the serialized bytes (see save_artifact/load_serving).
+    """
+    from jax import export as jax_export
+
+    if serving_dtype and serving_dtype != "float32":
+        from ..train.loop import cast_for_serving
+        dtype = jnp.dtype(serving_dtype)
+        variables = cast_for_serving(variables, dtype)
+    else:
+        dtype = None
+
+    def forward(x):
+        if dtype is not None:
+            x = x.astype(dtype)
+        out = model.apply(variables, x, train=False)
+        return jax.tree_util.tree_map(
+            lambda o: o.astype(jnp.float32), out)
+
+    spec = jax.ShapeDtypeStruct(np.shape(example_x),
+                                getattr(example_x, "dtype", np.float32))
+    exported = jax_export.export(jax.jit(forward),
+                                 platforms=tuple(platforms))(spec)
+    return exported.serialize()
+
+
+def save_artifact(path: str, blob: bytes, meta: Optional[dict] = None) -> None:
+    """Write `blob` with a small JSON header (model/task/batch/dtype...)."""
+    header = json.dumps(meta or {}).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+
+
+def load_artifact(path: str) -> Tuple[bytes, dict]:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path} is not a serving artifact")
+        n = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(n).decode())
+        return f.read(), meta
+
+
+def load_serving(blob: bytes) -> Callable:
+    """Deserialize an artifact into a callable (runs via jax.jit; the
+    embedded module must list the current backend in its platforms)."""
+    from jax import export as jax_export
+    exported = jax_export.deserialize(blob)
+    return exported.call
+
+
+def serve_file(path: str) -> Tuple[Callable, dict]:
+    blob, meta = load_artifact(path)
+    return load_serving(blob), meta

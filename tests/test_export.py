@@ -1,0 +1,97 @@
+"""Serving-artifact export (core/export.py): round-trip == direct apply.
+
+The reference's serving path rebuilds the model class and reloads a .pth
+(inference_only.py:11-90); here the exported StableHLO must reproduce the
+live model without any model code.
+"""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_csi_tpu.core.export import (
+    export_serving, load_artifact, load_serving, save_artifact, serve_file)
+
+
+def _tiny_model_and_vars():
+    from multi_modal_csi_tpu.models.csi.mlp import MLP
+    model = MLP(out_features=6)
+    x = np.random.default_rng(0).normal(size=(4, 120)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+    return model, variables, x
+
+
+def test_export_roundtrip_matches_apply():
+    model, variables, x = _tiny_model_and_vars()
+    blob = export_serving(model, variables, x, platforms=("cpu",))
+    fn = load_serving(blob)
+    out = np.asarray(fn(jnp.asarray(x)))
+    # oracle must be the COMPILED forward: eager op-by-op rounding differs
+    ref = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables,
+                                                     jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_export_bf16_serving_dtype():
+    model, variables, x = _tiny_model_and_vars()
+    blob = export_serving(model, variables, x, serving_dtype="bfloat16",
+                          platforms=("cpu",))
+    fn = load_serving(blob)
+    out = fn(jnp.asarray(x))
+    assert out.dtype == jnp.float32  # logits contract: always f32 out
+    ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0.1, atol=0.15)
+
+
+def test_artifact_file_roundtrip(tmp_path):
+    model, variables, x = _tiny_model_and_vars()
+    blob = export_serving(model, variables, x, platforms=("cpu",))
+    path = str(tmp_path / "m.mmcsi")
+    save_artifact(path, blob, {"model": "MLP", "batch": 4})
+    blob2, meta = load_artifact(path)
+    assert blob2 == blob and meta["model"] == "MLP"
+    fn, meta2 = serve_file(path)
+    assert meta2["batch"] == 4
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(x))),
+                               np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_export_batch_shape_is_static():
+    model, variables, x = _tiny_model_and_vars()
+    fn = load_serving(export_serving(model, variables, x, platforms=("cpu",)))
+    try:
+        fn(jnp.zeros((2, 120), jnp.float32))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised, "exported artifact must reject a different batch shape"
+
+
+def test_export_cli_detr(tmp_path):
+    """The CLI exports a DETR artifact that serves (CPU platform) correctly.
+
+    Runs in a subprocess so the CLI picks CPU before backend init."""
+    out = str(tmp_path / "detr.mmcsi")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['x','--model','DETR','--task','activity',"
+        f"'--batch','2','--out',{out!r},'--dtype','float32',"
+        "'--platforms','cpu'];"
+        "from multi_modal_csi_tpu.cli.export_model import main; main()"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    fn, meta = serve_file(out)
+    assert meta["model"] == "DETR" and meta["serving_dtype"] == "float32"
+    out_arr = fn(jnp.zeros(tuple(meta["input_shape"]), jnp.float32))
+    # DETR serving output: (L, B, Q, 10) per-layer class logits
+    assert np.asarray(out_arr).shape[1:] == (2, 5, 10)
+    assert np.all(np.isfinite(np.asarray(out_arr)))
