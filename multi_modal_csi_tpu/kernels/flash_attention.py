@@ -127,3 +127,138 @@ def flash_attention_reference(q, k, v):
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", w, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# --------------------------------------------------------------------- #
+# Tiled variant for MViT pooling attention: long query axis (up to ~72k
+# tokens), full-K VMEM residency, and the decomposed relative-position
+# bias folded in as a LOW-RANK factor pair.
+#
+# Why (r3 device reasoning, mirrors the THAT finding): at MViT-v2-S
+# stage-1/2 shapes the XLA path materializes (B, H, Nq, Nk) logits, the
+# rel-pos bias, exp and weights in HBM — ~5 GB of matrix-shaped tensors
+# per forward at bs2, several passes each. The bias is
+#   bias[q, k] = r_cat[q, :] @ scatter[:, k]
+# (models/video/mvit.py::_add_rel_pos) with inner dim m = k_t+k_h+k_w
+# (~40-50), so the kernel can rebuild any (TQ, K) bias tile from a
+# (TQ, m) strip and a tiny static (m, K) matrix — no bias-sized HBM
+# tensor ever exists. Key-padding is folded into the same factors (a
+# constant `ones` column in R against a 0/-1e30 mask row in S).
+#
+# Grid = (B*H, q-tiles), q-tiles innermost, K/V block index constant in
+# the inner dim — Mosaic keeps K/V resident per (b, h) while q streams.
+# --------------------------------------------------------------------- #
+
+def _tiled_kernel(q_ref, k_ref, v_ref, r_ref, s_ref, o_ref, *, scale):
+    qh = q_ref[0, 0]                                 # (D, TQ)
+    kh = k_ref[0, 0]                                 # (D, K)
+    vh = v_ref[0, 0]                                 # (D, K)
+    logits = jax.lax.dot_general(
+        qh, kh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (TQ, K)
+    bias = jax.lax.dot_general(
+        r_ref[0, 0], s_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TQ, K)
+    logits = logits + bias
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits - m)
+    w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(vh.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        vh, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def flash_attention_lowrank_bias(q, k, v, r=None, s=None, *,
+                                 scale: float | None = None,
+                                 q_tile: int = 256,
+                                 interpret: bool | None = None):
+    """softmax(q k^T * scale + r @ s) v with the q axis tiled.
+
+    q: (B, H, Nq, D); k/v: (B, H, Nk, D); r: (B, H, Nq, M); s: (M, Nk) —
+    the additive bias is r @ s per (b, h). Pass r=None for plain attention.
+    Returns (B, H, Nq, D) in q's dtype; bias math is always f32.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    def _pad_to(x, m):
+        return -(-x // m) * m
+
+    nq_p = _pad_to(nq, q_tile)
+    nk_p = _pad_to(nk, 128)
+    if r is None:
+        r = jnp.zeros((b, h, nq, 0), jnp.float32)
+        s = jnp.zeros((0, nk), jnp.float32)
+    # fold the key-padding mask into the factors: R gains a constant `ones`
+    # column, S the matching 0 (valid) / -1e30 (padded key) row
+    mask_row = jnp.concatenate(
+        [jnp.zeros((1, nk), jnp.float32),
+         jnp.full((1, nk_p - nk), -1e30, jnp.float32)], axis=1)
+    r = jnp.concatenate(
+        [r.astype(jnp.float32), jnp.ones((b, h, nq, 1), jnp.float32)],
+        axis=-1)
+    s = jnp.concatenate(
+        [jnp.pad(s.astype(jnp.float32), ((0, 0), (0, nk_p - nk))),
+         mask_row], axis=0)
+    m_dim = r.shape[-1]
+    m_p = _pad_to(m_dim, 8)
+    r = jnp.pad(r, ((0, 0), (0, 0), (0, nq_p - nq), (0, m_p - m_dim)))
+    s = jnp.pad(s, ((0, m_p - m_dim), (0, 0)))
+
+    qt = jnp.pad(q, ((0, 0), (0, 0), (0, nq_p - nq), (0, 0)))
+    kt = jnp.pad(k, ((0, 0), (0, 0), (0, nk_p - nk), (0, 0)))
+    vt = jnp.pad(v, ((0, 0), (0, 0), (0, nk_p - nk), (0, 0)))
+    qt = qt.transpose(0, 1, 3, 2)                    # (B, H, D, Nq_p)
+    kt = kt.transpose(0, 1, 3, 2)
+    vt = vt.transpose(0, 1, 3, 2)
+    rt = r.transpose(0, 1, 3, 2)                     # (B, H, M', Nq_p)
+
+    n_qt = nq_p // q_tile
+    kernel = functools.partial(_tiled_kernel, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, n_qt),
+        in_specs=[
+            pl.BlockSpec((1, 1, d, q_tile),
+                         lambda i, j: (i // h, i % h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, nk_p),
+                         lambda i, j: (i // h, i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, nk_p),
+                         lambda i, j: (i // h, i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_p, q_tile),
+                         lambda i, j: (i // h, i % h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_p, nk_p), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, d, q_tile),
+                               lambda i, j: (i // h, i % h, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, d, nq_p), q.dtype),
+        interpret=interpret,
+    )(qt, kt, vt, rt, s)
+    return out.transpose(0, 1, 3, 2)[:, :, :nq]      # (B, H, Nq, D)
+
+
+def flash_attention_lowrank_bias_reference(q, k, v, r=None, s=None, *,
+                                           scale: float | None = None):
+    """jnp oracle for the tiled kernel (same math, unfused)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if r is not None:
+        logits = logits + jnp.einsum(
+            "bhqm,mk->bhqk", r.astype(jnp.float32), s.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -116,17 +116,10 @@ def _rel_scatter_matrix(k_t: int, k_h: int, k_w: int) -> np.ndarray:
     return s
 
 
-def _add_rel_pos(attn, q, q_thw: THW, k_thw: THW, rel_h, rel_w, rel_t):
-    """Decomposed relative position bias on attn[:, :, 1:, 1:] (class token
-    rows/cols excluded) — torchvision's _add_rel_pos semantics, computed as
-    a one-hot-selector MATMUL instead of a broadcast-add over the 8-D
-    (q_t, q_h, q_w, k_t, k_h, k_w) tensor. Reason (r3 trace): the
-    broadcast-add's VJP materializes the full 8-D gradient and runs three
-    reductions over non-minor axes, each behind a physical transpose —
-    343 ms/step of transposes at MViT-v2's stage-1 sizes, making v2 train
-    4x slower than v1. A matmul's VJP is a matmul: the scatter pattern
-    becomes a static (k_t + k_h + k_w, K) 0/1 matrix contraction (a few
-    GFLOP on the MXU). Numerically identical up to f32 summation order."""
+def _rel_factors(q, q_thw: THW, k_thw: THW, rel_h, rel_w, rel_t):
+    """Low-rank factors of the decomposed rel-pos bias:
+    bias[:, :, 1:, 1:] == r_cat @ scatter, with r_cat (B, H, qq, m) and the
+    static 0/1 selector scatter (m, K), m = k_t + k_h + k_w (~40-50)."""
     q_t, q_h, q_w = q_thw
     k_t, k_h, k_w = k_thw
     Rh = interpolate_table(rel_h, 2 * max(q_h, k_h) - 1)
@@ -147,6 +140,21 @@ def _add_rel_pos(attn, q, q_thw: THW, k_thw: THW, rel_h, rel_w, rel_t):
         rel_h_q.reshape(b, heads, qq, k_h),
         rel_w_q.reshape(b, heads, qq, k_w)], axis=-1)
     scatter = jnp.asarray(_rel_scatter_matrix(k_t, k_h, k_w))
+    return r_cat, scatter
+
+
+def _add_rel_pos(attn, q, q_thw: THW, k_thw: THW, rel_h, rel_w, rel_t):
+    """Decomposed relative position bias on attn[:, :, 1:, 1:] (class token
+    rows/cols excluded) — torchvision's _add_rel_pos semantics, computed as
+    a one-hot-selector MATMUL instead of a broadcast-add over the 8-D
+    (q_t, q_h, q_w, k_t, k_h, k_w) tensor. Reason (r3 trace): the
+    broadcast-add's VJP materializes the full 8-D gradient and runs three
+    reductions over non-minor axes, each behind a physical transpose —
+    343 ms/step of transposes at MViT-v2's stage-1 sizes, making v2 train
+    4x slower than v1. A matmul's VJP is a matmul: the scatter pattern
+    becomes a static (k_t + k_h + k_w, K) 0/1 matrix contraction (a few
+    GFLOP on the MXU). Numerically identical up to f32 summation order."""
+    r_cat, scatter = _rel_factors(q, q_thw, k_thw, rel_h, rel_w, rel_t)
     rel = jnp.einsum("byqm,mk->byqk", r_cat, scatter,
                      preferred_element_type=jnp.float32)
     return attn.at[:, :, 1:, 1:].add(rel)
@@ -203,7 +211,7 @@ class MultiscaleAttention(nn.Module):
     rel_pos: bool
 
     @nn.compact
-    def __call__(self, x, thw: THW):
+    def __call__(self, x, thw: THW, deterministic: bool = True):
         b, n, _ = x.shape
         heads = self.num_heads
         d = self.output_dim // heads
@@ -221,8 +229,7 @@ class MultiscaleAttention(nn.Module):
             q, q_thw = PoolConv(d, (3, 3, 3), self.q_stride,
                                 name="pool_q")(q, thw)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q / math.sqrt(d), k,
-                          preferred_element_type=jnp.float32)
+        rel_tables = None
         if self.rel_pos:
             size = max(thw[1], thw[2])
             q_sp = size // self.q_stride[1]
@@ -232,10 +239,33 @@ class MultiscaleAttention(nn.Module):
             rel_h = self.param("rel_pos_h", init, (rel_sp, d))
             rel_w = self.param("rel_pos_w", init, (rel_sp, d))
             rel_t = self.param("rel_pos_t", init, (2 * thw[0] - 1, d))
-            attn = _add_rel_pos(attn, q, q_thw, k_thw, rel_h, rel_w, rel_t)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32)
+            rel_tables = (rel_h, rel_w, rel_t)
+
+        from ...kernels.flash_attention import (
+            _on_tpu, flash_attention_lowrank_bias)
+        nq = q.shape[2]
+        # eval-only (the kernel has no VJP: training keeps the XLA matmul
+        # path with exact softmax grads); on CPU the interpret path
+        # cross-validates the integration but is capped by nq (interpret
+        # cost) — tiny-clip shapes fall through to XLA anyway
+        use_flash = (deterministic and nq >= 256
+                     and (_on_tpu() or nq <= 1024))
+        if use_flash:
+            r = s = None
+            if rel_tables is not None:
+                r_cat, scatter = _rel_factors(q, q_thw, k_thw, *rel_tables)
+                # class-token row/col carry zero bias
+                r = jnp.pad(r_cat, ((0, 0), (0, 0), (1, 0), (0, 0)))
+                s = jnp.pad(scatter, ((0, 0), (1, 0)))
+            out = flash_attention_lowrank_bias(q, k, v, r, s)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q / math.sqrt(d), k,
+                              preferred_element_type=jnp.float32)
+            if rel_tables is not None:
+                attn = _add_rel_pos(attn, q, q_thw, k_thw, *rel_tables)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                             preferred_element_type=jnp.float32)
         if self.residual_pool:
             if self.residual_with_cls:
                 out = out + q
@@ -278,7 +308,7 @@ class MViTBlock(nn.Module):
         x_attn, new_thw = MultiscaleAttention(
             cfg.in_ch, attn_dim, cfg.heads, cfg.q_stride, cfg.kv_stride,
             cfg.has_pool_q, self.residual_pool, self.residual_with_cls,
-            self.rel_pos, name="attn")(x_norm1, thw)
+            self.rel_pos, name="attn")(x_norm1, thw, deterministic=det)
 
         needs_proj = cfg.in_ch != cfg.out_ch
         if needs_proj and self.proj_after_attn:

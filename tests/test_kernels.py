@@ -73,3 +73,30 @@ def test_flash_attention_cross_shapes(rng):
     got = flash_attention(q, k, v, interpret=True)
     want = flash_attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_attention_lowrank_bias_matches_reference(rng):
+    """Tiled MViT-shape kernel (q tiling + low-rank rel-pos bias + folded
+    key mask) vs the unfused oracle: scaled-down MViT-v2 block families
+    (cls token row/col carried as zero factor entries), plus the no-bias
+    path and non-divisible Nq/Nk."""
+    from multi_modal_csi_tpu.kernels.flash_attention import (
+        flash_attention_lowrank_bias, flash_attention_lowrank_bias_reference)
+    for b, h, nq, nk, d, m in [(2, 1, 300, 37, 16, 5), (1, 2, 513, 129, 8, 11),
+                               (2, 4, 257, 128, 24, 9), (1, 8, 128, 128, 96, 0)]:
+        q = jnp.asarray(rng.normal(size=(b, h, nq, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, nk, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, nk, d)).astype(np.float32))
+        if m:
+            r = jnp.asarray(rng.normal(size=(b, h, nq, m)).astype(np.float32))
+            s = jnp.asarray(rng.normal(size=(m, nk)).astype(np.float32))
+            # cls-token convention: zero bias row/col
+            r = r.at[:, :, 0, :].set(0.0)
+            s = s.at[:, 0].set(0.0)
+        else:
+            r = s = None
+        got = flash_attention_lowrank_bias(q, k, v, r, s, q_tile=256,
+                                           interpret=True)
+        want = flash_attention_lowrank_bias_reference(q, k, v, r, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)

@@ -74,3 +74,27 @@ def test_mvit_resolution_schedule():
     # pooling attention: Q pooled only at stage transitions (blocks 1/3/14)
     assert "pool_q" in p["block1"]["attn"]
     assert "pool_q" not in p["block0"]["attn"]
+
+
+def test_mvit_attention_flash_path_matches_xla():
+    """MultiscaleAttention's eval path (tiled low-rank-bias flash kernel,
+    interpret on CPU) == the train/XLA einsum path — attention itself has no
+    dropout, so deterministic True/False must agree numerically."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.models.video.mvit import MultiscaleAttention
+
+    thw = (4, 9, 9)                       # 1 + 324 = 325 tokens (>= 256 gate)
+    dim = 96
+    attn = MultiscaleAttention(
+        embed_dim=dim, output_dim=dim, num_heads=1, q_stride=(1, 1, 1),
+        kv_stride=(1, 1, 1), has_pool_q=False, residual_pool=True,
+        residual_with_cls=False, rel_pos=True)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 1 + 4 * 9 * 9, dim))
+                    .astype(np.float32))
+    variables = attn.init({"params": jax.random.PRNGKey(0)}, x, thw)
+    out_flash, _ = attn.apply(variables, x, thw, deterministic=True)
+    out_xla, _ = attn.apply(variables, x, thw, deterministic=False)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla),
+                               atol=3e-5)
