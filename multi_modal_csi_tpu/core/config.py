@@ -243,17 +243,20 @@ def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
 
 # Measured per-model serving winners at the BASELINE.md batch sizes:
 # bf16 speeds up every CSI model (1.2-2.9x) and the conv video backbones
-# (ResNet3D +2%, S3D +16%), but SLOWS Swin3D-T (63.0 -> 56.8 clips/s) and
-# MViT-v1 (52.3 -> 35.6) — their f32-accumulated attention einsums gain
-# nothing from bf16 inputs while LayerNorm/residual convert traffic grows.
+# (ResNet3D +2%, S3D +16%), but SLOWS Swin3D-T (63.0 -> 56.8 clips/s) —
+# its f32-accumulated attention einsums gain nothing from bf16 inputs while
+# LayerNorm/residual convert traffic grows. MViT flipped to bf16 in r3:
+# with the tiled flash-attention serving path the attention matrices live
+# in VMEM, so bf16 halves the kernel's q/k/v/out traffic instead of adding
+# convert passes (v1 75.9 vs 50.5 f32; v2 68.4 vs 46.8 — BASELINE.md r3).
 SERVING_DTYPE_DEFAULTS: Dict[str, str] = {
     # video
     "ResNet": "bfloat16",
     "S3D": "bfloat16",
     "Swin-T": "float32",
     "Swin-S": "float32",
-    "MViT-v1": "float32",
-    "MViT-v2": "float32",
+    "MViT-v1": "bfloat16",
+    "MViT-v2": "bfloat16",
 }
 _SERVING_DEFAULT_OTHER = "bfloat16"     # every CSI model measured faster
 

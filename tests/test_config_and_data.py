@@ -104,13 +104,14 @@ def test_load_csi_windows_left_pad(tmp_path):
 
 def test_serving_dtype_defaults():
     """VERDICT r2 next #8: "auto" must pick the measured per-model winner —
-    bf16 fleet-wide would slow Swin/MViT at serving batches (BASELINE.md r2
-    sweep); explicit settings always win."""
+    bf16 fleet-wide would slow Swin at serving batches (BASELINE.md r2
+    sweep); MViT flipped to bf16 in r3 with the tiled flash serving path;
+    explicit settings always win."""
     from multi_modal_csi_tpu.core.config import resolve_serving_dtype
     assert resolve_serving_dtype("auto", "Swin-T") == "float32"
     assert resolve_serving_dtype("auto", "Swin-S") == "float32"
-    assert resolve_serving_dtype("auto", "MViT-v1") == "float32"
-    assert resolve_serving_dtype("auto", "MViT-v2") == "float32"
+    assert resolve_serving_dtype("auto", "MViT-v1") == "bfloat16"
+    assert resolve_serving_dtype("auto", "MViT-v2") == "bfloat16"
     assert resolve_serving_dtype("auto", "S3D") == "bfloat16"
     assert resolve_serving_dtype("auto", "ResNet") == "bfloat16"
     assert resolve_serving_dtype("auto", "DETR") == "bfloat16"
