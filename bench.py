@@ -97,9 +97,10 @@ def main() -> None:
     except Exception:
         pass
 
-    # video axis: S3D bf16 at the BASELINE.md serving config (bs4, 45 frames)
+    # video axis: S3D bf16 at the BASELINE.md serving config (bs32 — the
+    # r3 batch-scaling knee; bs64 OOMs. tools/exp_video_batch.py)
     from multi_modal_csi_tpu.models.video.s3d import S3D
-    vbatch = 4
+    vbatch = 32
     vmodel = S3D(out_features=9)
     vx = jnp.asarray(np.random.default_rng(1).normal(
         size=(vbatch, 45, 224, 224, 3)), dtype)
