@@ -149,52 +149,23 @@ def flash_attention_reference(q, k, v):
 # the inner dim — Mosaic keeps K/V resident per (b, h) while q streams.
 # --------------------------------------------------------------------- #
 
-def _tiled_kernel(q_ref, k_ref, v_ref, r_ref, s_ref, o_ref, *, scale):
-    qh = q_ref[0, 0]                                 # (D, TQ)
-    kh = k_ref[0, 0]                                 # (D, K)
-    vh = v_ref[0, 0]                                 # (D, K)
-    logits = jax.lax.dot_general(
-        qh, kh, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (TQ, K)
-    bias = jax.lax.dot_general(
-        r_ref[0, 0], s_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (TQ, K)
-    logits = logits + bias
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    unnorm = jnp.exp(logits - m)
-    w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(vh.dtype)
-    o_ref[0, 0] = jax.lax.dot_general(
-        vh, w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def flash_attention_lowrank_bias(q, k, v, r=None, s=None, *,
-                                 scale: float | None = None,
-                                 q_tile: int = 256,
-                                 interpret: bool | None = None):
-    """softmax(q k^T * scale + r @ s) v with the q axis tiled.
-
-    q: (B, H, Nq, D); k/v: (B, H, Nk, D); r: (B, H, Nq, M); s: (M, Nk) —
-    the additive bias is r @ s per (b, h). Pass r=None for plain attention.
-    Returns (B, H, Nq, D) in q's dtype; bias math is always f32.
-    """
-    if interpret is None:
-        interpret = not _on_tpu()
+def _fold_pad(q, k, v, r, s, q_tile: int):
+    """Shared fwd/bwd preprocessing for the tiled low-rank-bias kernels:
+    normalize an absent bias to an empty factor pair, fold the key-padding
+    mask into the factors (R gains a constant `ones` column, S the matching
+    0 / -1e30 row), pad every axis to its tile multiple and transpose to
+    the kernel's (B, H, minor, N) layouts."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
-
-    def _pad_to(x, m):
-        return -(-x // m) * m
-
     nq_p = _pad_to(nq, q_tile)
     nk_p = _pad_to(nk, 128)
     if r is None:
         r = jnp.zeros((b, h, nq, 0), jnp.float32)
         s = jnp.zeros((0, nk), jnp.float32)
-    # fold the key-padding mask into the factors: R gains a constant `ones`
-    # column, S the matching 0 (valid) / -1e30 (padded key) row
     mask_row = jnp.concatenate(
         [jnp.zeros((1, nk), jnp.float32),
          jnp.full((1, nk_p - nk), -1e30, jnp.float32)], axis=1)
@@ -216,10 +187,58 @@ def flash_attention_lowrank_bias(q, k, v, r=None, s=None, *,
     kt = kt.transpose(0, 1, 3, 2)
     vt = vt.transpose(0, 1, 3, 2)
     rt = r.transpose(0, 1, 3, 2)                     # (B, H, M', Nq_p)
+    return qt, kt, vt, rt, s, (b, h, nq, d, nk, nq_p, nk_p, m_p)
+
+
+def _tiled_kernel(q_ref, k_ref, v_ref, r_ref, s_ref, o_ref, lse_ref, *,
+                  scale):
+    qh = q_ref[0, 0]                                 # (D, TQ)
+    kh = k_ref[0, 0]                                 # (D, K)
+    vh = v_ref[0, 0]                                 # (D, K)
+    logits = jax.lax.dot_general(
+        qh, kh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (TQ, K)
+    bias = jax.lax.dot_general(
+        r_ref[0, 0], s_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TQ, K)
+    logits = logits + bias
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits - m)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    w = (unnorm / denom).astype(vh.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        vh, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # per-row log-sum-exp, broadcast across the 8-sublane minor dim (the
+    # (TQ, 8) layout keeps the block tiling legal) — consumed by the flash
+    # backward
+    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(denom),
+                                     (qh.shape[1], 8))
+
+
+def flash_attention_lowrank_bias(q, k, v, r=None, s=None, *,
+                                 scale: float | None = None,
+                                 q_tile: int = 256,
+                                 interpret: bool | None = None,
+                                 return_lse: bool = False):
+    """softmax(q k^T * scale + r @ s) v with the q axis tiled.
+
+    q: (B, H, Nq, D); k/v: (B, H, Nk, D); r: (B, H, Nq, M); s: (M, Nk) —
+    the additive bias is r @ s per (b, h). Pass r=None for plain attention.
+    Returns (B, H, Nq, D) in q's dtype; bias math is always f32. With
+    return_lse, also returns the per-row log-sum-exp in the kernel's
+    (B, H, Nq_p, 8) broadcast layout (consumed by the flash backward).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    qt, kt, vt, rt, s, dims = _fold_pad(q, k, v, r, s, q_tile)
+    b, h, nq, d, nk, nq_p, nk_p, m_p = dims
 
     n_qt = nq_p // q_tile
     kernel = functools.partial(_tiled_kernel, scale=scale)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(b * h, n_qt),
         in_specs=[
@@ -238,13 +257,272 @@ def flash_attention_lowrank_bias(q, k, v, r=None, s=None, *,
             pl.BlockSpec((m_p, nk_p), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, d, q_tile),
-                               lambda i, j: (i // h, i % h, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, d, nq_p), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, d, q_tile),
+                         lambda i, j: (i // h, i % h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 8),
+                         lambda i, j: (i // h, i % h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, d, nq_p), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, nq_p, 8), jnp.float32)],
         interpret=interpret,
     )(qt, kt, vt, rt, s)
-    return out.transpose(0, 1, 3, 2)[:, :, :nq]      # (B, H, Nq, D)
+    out = out.transpose(0, 1, 3, 2)[:, :, :nq]       # (B, H, Nq, D)
+    if return_lse:
+        return out, lse
+    return out
+
+
+# --------------------------------------------------------------------- #
+# Flash BACKWARD for the tiled low-rank-bias attention (r3): training-mode
+# support without ever materializing an (Nq, Nk) matrix in HBM.
+#
+# Standard flash-backward structure, simplified by this kernel family's
+# full-K softmax: the forward emits per-row LSE (no streaming stats), and
+# the backward uses the delta identity
+#     sum_k dW[q,k] W[q,k] = sum_d dO[q,d] O[q,d]
+# so each tile needs only W = exp(logits - lse) and dL = W * (dW - delta)
+# — peak two (TQ, TK) f32 temporaries. Two kernels:
+#   - dQ/dR: K fully VMEM-resident per (b, h), streams q-tiles, per-tile
+#     outputs;
+#   - dK/dV/dS: grid (b*h, k-tiles, q-tiles) with q innermost — dK/dV/dS
+#     blocks stay VMEM-resident per (b, h, k-tile) and accumulate across
+#     q-tiles (init at j == 0).
+# Rebuilt-tile FLOPs are ~free (VMEM-fed MXU); what this saves vs the XLA
+# backward is every HBM pass over (Nq, Nk) weight/grad matrices (100s of
+# MB each at MViT stage-1/2 shapes). Gradients equal the exact softmax
+# math up to f32 tile-summation order.
+# --------------------------------------------------------------------- #
+
+def _bwd_tile_wdl(q_ref, k_ref, v_ref, r_ref, s_ref, do_ref, lse_ref,
+                  dlt_ref, *, scale):
+    """Rebuild (w, dl, doh) for one (q-tile, k-tile) from saved row stats."""
+    qh = q_ref[0, 0]                                 # (D, TQ)
+    kh = k_ref[0, 0]                                 # (D, TK)
+    vh = v_ref[0, 0]                                 # (D, TK)
+    doh = do_ref[0, 0]                               # (D, TQ)
+    lse = lse_ref[0, 0][:, 0:1]                      # (TQ, 1)
+    delta = dlt_ref[0, 0][:, 0:1]                    # (TQ, 1)
+    logits = jax.lax.dot_general(
+        qh, kh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (TQ, TK)
+    logits = logits + jax.lax.dot_general(
+        r_ref[0, 0], s_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    w = jnp.exp(logits - lse)                        # (TQ, TK) f32
+    dw = jax.lax.dot_general(
+        doh, vh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TQ, TK)
+    dl = w * (dw - delta)
+    return w, dl, doh, qh
+
+
+def _tiled_bwd_dq_kernel(q_ref, k_ref, v_ref, r_ref, s_ref, do_ref,
+                         lse_ref, dlt_ref, dq_ref, dr_ref, *, scale):
+    _, dl, _, _ = _bwd_tile_wdl(q_ref, k_ref, v_ref, r_ref, s_ref, do_ref,
+                                lse_ref, dlt_ref, scale=scale)
+    dq_ref[0, 0] = jax.lax.dot_general(
+        k_ref[0, 0], dl, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (D, TQ)
+    dr_ref[0, 0] = jax.lax.dot_general(
+        s_ref[...], dl, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (M', TQ)
+
+
+def _tiled_bwd_dkv_kernel(q_ref, k_ref, v_ref, r_ref, s_ref, do_ref,
+                          lse_ref, dlt_ref, dk_ref, dv_ref, ds_ref, *,
+                          scale):
+    w, dl, doh, qh = _bwd_tile_wdl(q_ref, k_ref, v_ref, r_ref, s_ref,
+                                   do_ref, lse_ref, dlt_ref, scale=scale)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+        ds_ref[...] = jnp.zeros(ds_ref.shape, ds_ref.dtype)
+
+    dv_ref[0, 0] += jax.lax.dot_general(
+        doh, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (D, TK)
+    dk_ref[0, 0] += jax.lax.dot_general(
+        qh, dl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (D, TK)
+    ds_ref[0, 0] += jax.lax.dot_general(
+        r_ref[0, 0], dl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (M', TK)
+
+
+def _bwd_dq_tile(nk_p: int, d: int, m_p: int, want: int) -> int:
+    """Largest q-tile (>=128, /128) for the dQ/dR kernel: resident K/V + s
+    + ~2.2 (TQ, K) f32 temporaries under the VMEM budget."""
+    budget = 12 * 1024 * 1024
+    fixed = (2 * d * nk_p + m_p * nk_p) * 4
+    tq = max(want, 128)
+    while tq > 128 and fixed + 2.2 * tq * nk_p * 4 > budget:
+        tq //= 2
+    return tq
+
+
+def _bwd_k_tile(nk_p: int, d: int, m_p: int, tq: int) -> int:
+    """Largest k-tile (a /128 divisor of nk_p) for the dK/dV/dS kernel:
+    resident k/v/dk/dv/s/ds per k-tile + ~2.2 (TQ, TK) temporaries."""
+    budget = 12 * 1024 * 1024
+
+    def cost(tk):
+        return (4 * d * tk + 2 * m_p * tk) * 4 + 2.2 * tq * tk * 4
+
+    for n in range(1, nk_p // 128 + 1):
+        if nk_p % (n * 128) == 0:
+            tk = nk_p // n
+            if tk % 128 == 0 and cost(tk) <= budget:
+                return tk
+    return 128
+
+
+def _flash_lowrank_fwd(q, k, v, r, s, scale, q_tile, interpret):
+    out, lse = flash_attention_lowrank_bias(
+        q, k, v, r, s, scale=scale, q_tile=q_tile, interpret=interpret,
+        return_lse=True)
+    return out, (q, k, v, r, s, out, lse)
+
+
+def _flash_lowrank_bwd(scale, q_tile, interpret, res, do):
+    q, k, v, r, s, out, lse = res
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, h, nq, d = q.shape
+    had_bias = r is not None
+    m_orig = r.shape[-1] if had_bias else 0
+    nk_orig = k.shape[2]
+    m_p0 = _pad_to(m_orig + 1, 8)
+    nk_p0 = _pad_to(nk_orig, 128)
+
+    tq = _bwd_dq_tile(nk_p0, d, m_p0, q_tile)
+    qt, kt, vt, rt, sp, dims = _fold_pad(q, k, v, r, s, tq)
+    _, _, _, _, nk, nq_p, nk_p, m_p = dims
+    dot = jnp.pad(do.astype(q.dtype),
+                  ((0, 0), (0, 0), (0, nq_p - nq), (0, 0))
+                  ).transpose(0, 1, 3, 2)            # (B, H, D, Nq_p)
+    # delta[q] = sum_d do[q, d] * out[q, d], in the (B, H, Nq_p, 8)
+    # broadcast layout the kernels read row stats in
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, nq_p - nq)))
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (8,))
+    if lse.shape[2] != nq_p:      # fwd ran at a different q_tile padding
+        lse = jnp.pad(lse[:, :, :min(lse.shape[2], nq_p)],
+                      ((0, 0), (0, 0),
+                       (0, max(0, nq_p - lse.shape[2])), (0, 0)))
+
+    n_qt = nq_p // tq
+
+    def qspec(minor):
+        return pl.BlockSpec((1, 1, minor, tq),
+                            lambda i, j: (i // h, i % h, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def rowspec():
+        return pl.BlockSpec((1, 1, tq, 8),
+                            lambda i, j: (i // h, i % h, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_tiled_bwd_dq_kernel, scale=scale)
+    dq_t, dr_t = pl.pallas_call(
+        kernel,
+        grid=(b * h, n_qt),
+        in_specs=[
+            qspec(d),
+            pl.BlockSpec((1, 1, d, nk_p), lambda i, j: (i // h, i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, nk_p), lambda i, j: (i // h, i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qspec(m_p),
+            pl.BlockSpec((m_p, nk_p), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            qspec(d), rowspec(), rowspec(),
+        ],
+        out_specs=[qspec(d), qspec(m_p)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, d, nq_p), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, m_p, nq_p), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt, rt, sp, dot, lse, delta)
+
+    # dK/dV/dS: grid (b*h, k-tiles, q-tiles), q innermost so the dk/dv/ds
+    # blocks stay resident per (b, h, k-tile) while q streams
+    tk = _bwd_k_tile(nk_p, d, m_p, tq)
+    n_kt = nk_p // tk
+
+    def qspec3(minor):
+        return pl.BlockSpec((1, 1, minor, tq),
+                            lambda i, kk, j: (i // h, i % h, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def kspec3(minor):
+        return pl.BlockSpec((1, 1, minor, tk),
+                            lambda i, kk, j: (i // h, i % h, 0, kk),
+                            memory_space=pltpu.VMEM)
+
+    def rowspec3():
+        return pl.BlockSpec((1, 1, tq, 8),
+                            lambda i, kk, j: (i // h, i % h, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel2 = functools.partial(_tiled_bwd_dkv_kernel, scale=scale)
+    dk_t, dv_t, ds_bh = pl.pallas_call(
+        kernel2,
+        grid=(b * h, n_kt, n_qt),
+        in_specs=[
+            qspec3(d), kspec3(d), kspec3(d), qspec3(m_p),
+            pl.BlockSpec((m_p, tk), lambda i, kk, j: (0, kk),
+                         memory_space=pltpu.VMEM),
+            qspec3(d), rowspec3(), rowspec3(),
+        ],
+        out_specs=[kspec3(d), kspec3(d), kspec3(m_p)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, d, nk_p), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, d, nk_p), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, m_p, nk_p), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt, rt, sp, dot, lse, delta)
+
+    dq = dq_t.transpose(0, 1, 3, 2)[:, :, :nq].astype(q.dtype)
+    dk = dk_t.transpose(0, 1, 3, 2)[:, :, :nk_orig].astype(k.dtype)
+    dv = dv_t.transpose(0, 1, 3, 2)[:, :, :nk_orig].astype(v.dtype)
+    if had_bias:
+        # drop the appended mask column/row and the tile padding
+        dr = dr_t.transpose(0, 1, 3, 2)[:, :, :nq, :m_orig].astype(r.dtype)
+        ds = jnp.sum(ds_bh, axis=(0, 1))[:m_orig, :nk_orig].astype(s.dtype)
+    else:
+        dr, ds = None, None
+    return dq, dk, dv, dr, ds
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_lowrank_diff(q, k, v, r, s, scale, q_tile, interpret):
+    return flash_attention_lowrank_bias(q, k, v, r, s, scale=scale,
+                                        q_tile=q_tile, interpret=interpret)
+
+
+_flash_lowrank_diff.defvjp(_flash_lowrank_fwd, _flash_lowrank_bwd)
+
+
+def flash_attention_lowrank_bias_trainable(q, k, v, r=None, s=None, *,
+                                           scale: float | None = None,
+                                           q_tile: int = 256,
+                                           interpret: bool | None = None):
+    """Differentiable tiled low-rank-bias flash attention.
+
+    Same contract as `flash_attention_lowrank_bias`, plus a flash BACKWARD
+    (custom_vjp): cotangents for q/k/v and the bias factors r/s are computed
+    tile-wise from VMEM-resident K/V without materializing any (Nq, Nk)
+    matrix in HBM. Use in training; gradients equal jax.grad of the XLA
+    reference path up to f32 tile-summation order.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_lowrank_diff(q, k, v, r, s, scale, q_tile, interpret)
 
 
 def flash_attention_lowrank_bias_reference(q, k, v, r=None, s=None, *,

@@ -242,14 +242,17 @@ class MultiscaleAttention(nn.Module):
             rel_tables = (rel_h, rel_w, rel_t)
 
         from ...kernels.flash_attention import (
-            _on_tpu, flash_attention_lowrank_bias)
+            _on_tpu, flash_attention_lowrank_bias,
+            flash_attention_lowrank_bias_trainable)
         nq = q.shape[2]
-        # eval-only (the kernel has no VJP: training keeps the XLA matmul
-        # path with exact softmax grads); on CPU the interpret path
+        # eval: flash for every qualifying stage; on CPU the interpret path
         # cross-validates the integration but is capped by nq (interpret
-        # cost) — tiny-clip shapes fall through to XLA anyway
-        use_flash = (deterministic and nq >= 256
-                     and (_on_tpu() or nq <= 1024))
+        # cost) — tiny-clip shapes fall through to XLA anyway.
+        # TRAIN (r3): the Pallas flash BACKWARD wins 5x at the big-Nq
+        # stages (stage1/2, measured tools/exp_flash_bwd.py); the small
+        # late stages are sub-ms either way and keep the XLA grads.
+        use_flash = (nq >= 256 and (_on_tpu() or nq <= 1024)
+                     if deterministic else nq >= 8192 and _on_tpu())
         if use_flash:
             r = s = None
             if rel_tables is not None:
@@ -257,7 +260,9 @@ class MultiscaleAttention(nn.Module):
                 # class-token row/col carry zero bias
                 r = jnp.pad(r_cat, ((0, 0), (0, 0), (1, 0), (0, 0)))
                 s = jnp.pad(scatter, ((0, 0), (1, 0)))
-            out = flash_attention_lowrank_bias(q, k, v, r, s)
+            fa = (flash_attention_lowrank_bias if deterministic
+                  else flash_attention_lowrank_bias_trainable)
+            out = fa(q, k, v, r, s)
         else:
             attn = jnp.einsum("bhnd,bhmd->bhnm", q / math.sqrt(d), k,
                               preferred_element_type=jnp.float32)

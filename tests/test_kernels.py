@@ -100,3 +100,42 @@ def test_flash_attention_lowrank_bias_matches_reference(rng):
         want = flash_attention_lowrank_bias_reference(q, k, v, r, s)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+
+def test_flash_attention_lowrank_bias_trainable_grads(rng):
+    """Pallas flash BACKWARD (two-kernel dQ/dR + accumulated dK/dV/dS) vs
+    jax.grad of the unfused oracle — every cotangent incl. the low-rank
+    bias factors, across bias/no-bias and non-divisible Nq/Nk."""
+    import jax
+
+    from multi_modal_csi_tpu.kernels.flash_attention import (
+        flash_attention_lowrank_bias_reference,
+        flash_attention_lowrank_bias_trainable)
+    for b, h, nq, nk, d, m in [(2, 2, 300, 130, 32, 11),
+                               (1, 2, 513, 129, 8, 0)]:
+        q = jnp.asarray(rng.normal(size=(b, h, nq, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, nk, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, nk, d)).astype(np.float32))
+        if m:
+            r = 0.1 * jnp.asarray(
+                rng.normal(size=(b, h, nq, m)).astype(np.float32))
+            s = 0.1 * jnp.asarray(rng.normal(size=(m, nk)).astype(np.float32))
+        else:
+            r = s = None
+        seed = jnp.asarray(rng.normal(size=(b, h, nq, d)).astype(np.float32))
+        args = (q, k, v) if m == 0 else (q, k, v, r, s)
+        nargs = len(args)
+
+        def loss_flash(*a):
+            return jnp.sum(flash_attention_lowrank_bias_trainable(
+                *a, q_tile=128, interpret=True) * seed)
+
+        def loss_ref(*a):
+            return jnp.sum(flash_attention_lowrank_bias_reference(*a) * seed)
+
+        g_got = jax.grad(loss_flash, argnums=tuple(range(nargs)))(*args)
+        g_want = jax.grad(loss_ref, argnums=tuple(range(nargs)))(*args)
+        for name, a, bb in zip("qkvrs", g_got, g_want):
+            scale = float(jnp.max(jnp.abs(bb))) + 1e-9
+            err = float(jnp.max(jnp.abs(a - bb))) / scale
+            assert err < 1e-4, (name, err, (b, h, nq, nk, d, m))
