@@ -119,6 +119,110 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     return out.transpose(0, 3, 1, 2)             # (B, Nq, H, D)
 
 
+def _bwd_kernel_plain(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale: float, bb: int, heads: int):
+    """Backward for the batched-cell THAT-family kernel: N is small enough
+    that each (b, h)'s full (Nq, Nk) weight tile fits VMEM, so the cell
+    rebuilds softmax directly (no saved stats) and emits all three grads."""
+    def body(b, carry):
+        for h in range(heads):
+            qh = q_ref[b, h]                         # (D, Nq)
+            kh = k_ref[b, h]                         # (D, Nk)
+            vh = v_ref[b, h]                         # (D, Nk)
+            doh = do_ref[b, h]                       # (D, Nq)
+            logits = jax.lax.dot_general(
+                qh, kh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            unnorm = jnp.exp(logits - m)
+            w = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
+            dw = jax.lax.dot_general(
+                doh, vh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (Nq, Nk)
+            dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+            dq_ref[b, h] = jax.lax.dot_general(
+                kh, dl, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk_ref[b, h] = jax.lax.dot_general(
+                qh, dl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dv_ref[b, h] = jax.lax.dot_general(
+                doh, w.astype(doh.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, bb, body, 0)
+
+
+def _plain_fwd(q, k, v, batch_block, interpret):
+    return flash_attention(q, k, v, batch_block=batch_block,
+                           interpret=interpret), (q, k, v)
+
+
+def _plain_bwd(batch_block, interpret, res, do):
+    q, k, v = res
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    item = jnp.dtype(q.dtype).itemsize
+    sub = 8 if item == 4 else 16
+    per_b = (h * _pad_to(d, sub) * 3
+             * (_pad_to(nk, 128) + _pad_to(nq, 128)) * item)
+    temps = 3 * _pad_to(nq, 8) * _pad_to(nk, 128) * 4
+    budget = 12 * 1024 * 1024
+    bb = batch_block
+    while bb > 1 and bb * per_b + temps > budget:
+        bb //= 2
+    while b % bb:
+        bb //= 2
+    bb = max(bb, 1)
+    scale = 1.0 / math.sqrt(d)
+
+    qt = q.transpose(0, 2, 3, 1)                 # (B, H, D, Nq)
+    kt = k.transpose(0, 2, 3, 1)
+    vt = v.transpose(0, 2, 3, 1)
+    dot = do.astype(q.dtype).transpose(0, 2, 3, 1)
+    kernel = functools.partial(_bwd_kernel_plain, scale=scale, bb=bb,
+                               heads=h)
+
+    def spec(n):
+        return pl.BlockSpec((bb, h, d, n), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq_t, dk_t, dv_t = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[spec(nq), spec(nk), spec(nk), spec(nq)],
+        out_specs=[spec(nq), spec(nk), spec(nk)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, d, nq), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, d, nk), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, d, nk), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt, dot)
+    return (dq_t.transpose(0, 3, 1, 2).astype(q.dtype),
+            dk_t.transpose(0, 3, 1, 2).astype(k.dtype),
+            dv_t.transpose(0, 3, 1, 2).astype(v.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_plain_diff(q, k, v, batch_block, interpret):
+    return flash_attention(q, k, v, batch_block=batch_block,
+                           interpret=interpret)
+
+
+_flash_plain_diff.defvjp(_plain_fwd, _plain_bwd)
+
+
+def flash_attention_trainable(q, k, v, *, batch_block: int = 8,
+                              interpret: bool | None = None):
+    """Differentiable THAT-family flash attention (custom_vjp): the Pallas
+    backward rebuilds each (b, h) weight tile from VMEM (no saved stats, no
+    (Nq, Nk) HBM tensors). Gradients equal jax.grad of the XLA path up to
+    f32 summation order."""
+    return _flash_plain_diff(q, k, v, batch_block, interpret)
+
+
 def flash_attention_reference(q, k, v):
     """jnp oracle (same math, unfused)."""
     d = q.shape[-1]

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .init import torch_bias, torch_linear_weight, uniform_scale, xavier_uniform
+from ..kernels.flash_attention import _on_tpu
 
 
 class Linear(nn.Module):
@@ -258,24 +259,31 @@ class MultiheadAttention(nn.Module):
         # TPU execution (CPU tests take the interpret path only when tiny).
         # q >= 64 too: few-query cross-attention (DETR's 5 decoder queries)
         # is cheaper in XLA than paying the per-cell grid overhead.
-        # `deterministic` gates STRICTLY to eval: the kernel has no VJP, and
-        # training must keep the XLA path's exact softmax gradients anyway
-        # (callers pass deterministic=not train, so a dropout-free training
-        # step still routes XLA — caught by the train-parity suite r3).
-        use_flash = (mask is None and deterministic
-                     and q.shape[1] >= 64 and k.shape[1] >= 64)
+        # TRAINING (r3): the Pallas flash BACKWARD (custom_vjp, grads ==
+        # jax.grad of the XLA path to ~3e-7 rel) engages on TPU when the
+        # attention-probability dropout is 0 — which it is for the whole
+        # THAT family (torch MultiheadAttention's default; the reference's
+        # 0.1 Dropout is on the OUTPUT, reference that.py:113-117). A
+        # nonzero attn-prob dropout must keep the XLA path (the kernel has
+        # no in-tile RNG); CPU training also stays XLA (interpret cost).
+        shapes_ok = (mask is None and q.shape[1] >= 64 and k.shape[1] >= 64)
+        use_flash = shapes_ok and deterministic
+        use_flash_train = (shapes_ok and not deterministic
+                           and self.dropout == 0.0 and _on_tpu())
         # Serving dtype is signalled by the PARAM dtype (cast_for_serving):
         # activations may arrive f32 even in bf16 serving because LayerNorm
         # promotes — keying on query.dtype silently kept everything f32.
         act_dtype = jnp.bfloat16 if in_proj_w.dtype == jnp.bfloat16 \
             else jnp.float32
-        if use_flash:
-            from ..kernels.flash_attention import flash_attention
+        if use_flash or use_flash_train:
+            from ..kernels.flash_attention import (flash_attention,
+                                                   flash_attention_trainable)
+            fa = flash_attention if use_flash else flash_attention_trainable
             # the projections accumulate in f32; attention runs in the
             # serving dtype (bf16 halves VMEM + HBM traffic)
-            ctx = flash_attention(q.astype(act_dtype),
-                                  k.astype(act_dtype),
-                                  v.astype(act_dtype))
+            ctx = fa(q.astype(act_dtype),
+                     k.astype(act_dtype),
+                     v.astype(act_dtype))
             ctx = ctx.reshape(*query.shape[:-1], e)
             out_w = self.param("out_proj_weight", torch_linear_weight(),
                                (e, e))

@@ -139,3 +139,30 @@ def test_flash_attention_lowrank_bias_trainable_grads(rng):
             scale = float(jnp.max(jnp.abs(bb))) + 1e-9
             err = float(jnp.max(jnp.abs(a - bb))) / scale
             assert err < 1e-4, (name, err, (b, h, nq, nk, d, m))
+
+
+def test_flash_attention_trainable_grads(rng):
+    """Batched-cell THAT-family flash backward vs jax.grad of the oracle
+    (incl. the d=27 h=10 production head geometry)."""
+    import jax
+
+    from multi_modal_csi_tpu.kernels.flash_attention import (
+        flash_attention_reference, flash_attention_trainable)
+    for b, nq, nk, h, d in [(4, 64, 40, 10, 27), (2, 128, 128, 4, 16)]:
+        q = jnp.asarray(rng.normal(size=(b, nq, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, nk, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, nk, h, d)).astype(np.float32))
+        seed = jnp.asarray(rng.normal(size=(b, nq, h, d)).astype(np.float32))
+
+        def lf(*a):
+            return jnp.sum(flash_attention_trainable(*a) * seed)
+
+        def lr(*a):
+            return jnp.sum(flash_attention_reference(*a) * seed)
+
+        g_got = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        g_want = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for name, a, w in zip("qkv", g_got, g_want):
+            scale = float(jnp.max(jnp.abs(w))) + 1e-9
+            assert float(jnp.max(jnp.abs(a - w))) / scale < 1e-5, \
+                (name, (b, nq, nk, h, d))
