@@ -13,6 +13,14 @@ Serving precision: pass `serving_dtype` (or resolve it per model via
 core.config.resolve_serving_dtype) — weights are cast once at export and the
 input is cast in-graph, logits always return float32, matching
 train/loop.py::eval_dataset's serving contract.
+
+Kernel gating: the models' use-flash gates are trace-time Python decisions
+keyed on the HOST platform, which is wrong under export (the artifact's
+target is `platforms`, not the host). export_serving forces them via
+kernels.flash_attention.flash_mode: a TPU-only artifact traces the Mosaic
+flash kernels even from a CPU host; a multi-platform (or CPU) artifact
+traces the pure-XLA attention path, since a Mosaic custom call cannot run
+on CPU.
 """
 
 from __future__ import annotations
@@ -55,8 +63,11 @@ def export_serving(model, variables: Any, example_x,
 
     spec = jax.ShapeDtypeStruct(np.shape(example_x),
                                 getattr(example_x, "dtype", np.float32))
-    exported = jax_export.export(jax.jit(forward),
-                                 platforms=tuple(platforms))(spec)
+    from ..kernels.flash_attention import flash_mode
+    mode = "on" if tuple(platforms) == ("tpu",) else "off"
+    with flash_mode(mode):
+        exported = jax_export.export(jax.jit(forward),
+                                     platforms=tuple(platforms))(spec)
     return exported.serialize()
 
 

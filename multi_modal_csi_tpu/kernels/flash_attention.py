@@ -19,6 +19,7 @@ shapes qualify; training keeps the XLA path (exact jax.nn.softmax grads).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -33,6 +34,46 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
         return False
+
+
+# Trace-time flash override. The use-flash gates are PYTHON decisions made
+# while tracing, keyed (in "auto") on the HOST platform — wrong for
+# jax.export, where the artifact's target platform is not the host's:
+# a CPU-host export targeting TPU must trace the Mosaic kernels ("on"),
+# and a portable multi-platform artifact must trace the pure-XLA path
+# ("off", since a Mosaic custom call cannot run on CPU). core/export.py
+# sets this; live execution keeps "auto".
+_FLASH_MODE = "auto"          # "auto" | "on" | "off"
+
+
+@contextlib.contextmanager
+def flash_mode(mode: str):
+    """Force the flash gates for the duration: "on" traces the Pallas
+    kernels with compiled (Mosaic) lowering regardless of host platform,
+    "off" traces the XLA paths, "auto" restores platform-keyed gating."""
+    global _FLASH_MODE
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"flash_mode must be auto/on/off, got {mode!r}")
+    prev, _FLASH_MODE = _FLASH_MODE, mode
+    try:
+        yield
+    finally:
+        _FLASH_MODE = prev
+
+
+def flash_resolved(auto_decision: bool) -> bool:
+    """Shape/dropout qualifications stay with the caller; this resolves
+    only the platform-keyed part of a use-flash gate."""
+    if _FLASH_MODE == "auto":
+        return auto_decision
+    return _FLASH_MODE == "on"
+
+
+def _default_interpret() -> bool:
+    # "on" means compiled (Mosaic) lowering even off-TPU (export tracing)
+    if _FLASH_MODE == "on":
+        return False
+    return not _on_tpu()
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, bb: int,
@@ -73,7 +114,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     Returns (B, Nq, H, D) in q's dtype. Internally runs in (B, H, D, N).
     """
     if interpret is None:
-        interpret = not _on_tpu()
+        interpret = _default_interpret()
     b, nq, h, d = q.shape
     nk = k.shape[1]
 
@@ -162,7 +203,7 @@ def _plain_fwd(q, k, v, batch_block, interpret):
 def _plain_bwd(batch_block, interpret, res, do):
     q, k, v = res
     if interpret is None:
-        interpret = not _on_tpu()
+        interpret = _default_interpret()
     b, nq, h, d = q.shape
     nk = k.shape[1]
     item = jnp.dtype(q.dtype).itemsize
@@ -334,7 +375,7 @@ def flash_attention_lowrank_bias(q, k, v, r=None, s=None, *,
     (B, H, Nq_p, 8) broadcast layout (consumed by the flash backward).
     """
     if interpret is None:
-        interpret = not _on_tpu()
+        interpret = _default_interpret()
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     qt, kt, vt, rt, s, dims = _fold_pad(q, k, v, r, s, q_tile)
@@ -496,7 +537,7 @@ def _flash_lowrank_fwd(q, k, v, r, s, scale, q_tile, interpret):
 def _flash_lowrank_bwd(scale, q_tile, interpret, res, do):
     q, k, v, r, s, out, lse = res
     if interpret is None:
-        interpret = not _on_tpu()
+        interpret = _default_interpret()
     b, h, nq, d = q.shape
     had_bias = r is not None
     m_orig = r.shape[-1] if had_bias else 0

@@ -243,7 +243,7 @@ class MultiscaleAttention(nn.Module):
 
         from ...kernels.flash_attention import (
             _on_tpu, flash_attention_lowrank_bias,
-            flash_attention_lowrank_bias_trainable)
+            flash_attention_lowrank_bias_trainable, flash_resolved)
         nq = q.shape[2]
         # eval: flash for every qualifying stage; on CPU the interpret path
         # cross-validates the integration but is capped by nq (interpret
@@ -251,8 +251,12 @@ class MultiscaleAttention(nn.Module):
         # TRAIN (r3): the Pallas flash BACKWARD wins 5x at the big-Nq
         # stages (stage1/2, measured tools/exp_flash_bwd.py); the small
         # late stages are sub-ms either way and keep the XLA grads.
-        use_flash = (nq >= 256 and (_on_tpu() or nq <= 1024)
-                     if deterministic else nq >= 8192 and _on_tpu())
+        # flash_resolved: kernels/flash_attention.py::flash_mode export
+        # override — the platform part of the gate only.
+        if deterministic:
+            use_flash = nq >= 256 and flash_resolved(_on_tpu() or nq <= 1024)
+        else:
+            use_flash = nq >= 8192 and flash_resolved(_on_tpu())
         if use_flash:
             r = s = None
             if rel_tables is not None:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .init import torch_bias, torch_linear_weight, uniform_scale, xavier_uniform
-from ..kernels.flash_attention import _on_tpu
+from ..kernels.flash_attention import _on_tpu, flash_resolved
 
 
 class Linear(nn.Module):
@@ -266,10 +266,13 @@ class MultiheadAttention(nn.Module):
         # 0.1 Dropout is on the OUTPUT, reference that.py:113-117). A
         # nonzero attn-prob dropout must keep the XLA path (the kernel has
         # no in-tile RNG); CPU training also stays XLA (interpret cost).
+        # flash_resolved: kernels/flash_attention.py::flash_mode export
+        # override — resolves only the platform-keyed part of the gate.
         shapes_ok = (mask is None and q.shape[1] >= 64 and k.shape[1] >= 64)
-        use_flash = shapes_ok and deterministic
+        use_flash = shapes_ok and deterministic and flash_resolved(True)
         use_flash_train = (shapes_ok and not deterministic
-                           and self.dropout == 0.0 and _on_tpu())
+                           and self.dropout == 0.0
+                           and flash_resolved(_on_tpu()))
         # Serving dtype is signalled by the PARAM dtype (cast_for_serving):
         # activations may arrive f32 even in bf16 serving because LayerNorm
         # promotes — keying on query.dtype silently kept everything f32.

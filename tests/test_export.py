@@ -74,6 +74,68 @@ def test_export_batch_shape_is_static():
     assert raised, "exported artifact must reject a different batch shape"
 
 
+def _attn_model_and_vars():
+    """A model whose eval path hits the flash-attention gate (seq >= 64)."""
+    import flax.linen as nn
+
+    from multi_modal_csi_tpu.nn.layers import MultiheadAttention
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return MultiheadAttention(embed_dim=32, num_heads=2)(
+                x, x, x, deterministic=not train)
+
+    model = Tiny()
+    x = np.random.default_rng(0).normal(size=(2, 64, 32)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+    return model, variables, x
+
+
+def test_export_multiplatform_forces_xla_attention():
+    """A multi-platform artifact must NOT contain a Mosaic custom call (it
+    could never run on CPU); it must serve on CPU and match the XLA path."""
+    model, variables, x = _attn_model_and_vars()
+    blob = export_serving(model, variables, x, platforms=("tpu", "cpu"))
+    assert b"tpu_custom_call" not in blob
+    out = np.asarray(load_serving(blob)(jnp.asarray(x)))
+
+    from multi_modal_csi_tpu.kernels.flash_attention import flash_mode
+    with flash_mode("off"):
+        ref = np.asarray(jax.jit(
+            lambda v, x: model.apply(v, x, train=False))(variables,
+                                                         jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_export_tpu_only_traces_mosaic_flash():
+    """A TPU-only artifact exported from a CPU host must trace the COMPILED
+    Pallas flash kernel (the host-keyed gate would silently drop it)."""
+    model, variables, x = _attn_model_and_vars()
+    blob = export_serving(model, variables, x, platforms=("tpu",))
+    assert b"tpu_custom_call" in blob
+
+
+def test_flash_mode_scoping():
+    from multi_modal_csi_tpu.kernels.flash_attention import (flash_mode,
+                                                             flash_resolved)
+    assert flash_resolved(True) and not flash_resolved(False)  # auto
+    with flash_mode("off"):
+        assert not flash_resolved(True)
+        with flash_mode("on"):
+            assert flash_resolved(False)
+        assert not flash_resolved(True)
+    assert flash_resolved(True) and not flash_resolved(False)
+    try:
+        with flash_mode("sideways"):
+            pass
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
 def test_export_cli_detr(tmp_path):
     """The CLI exports a DETR artifact that serves (CPU platform) correctly.
 
