@@ -134,3 +134,42 @@ def test_video_train_step_parity_s3d():
     assert res["param_err_p999"] < 3e-4, res
     assert res["param_frac_above_1e-4"] < 3e-3, res
     assert res["stats_err"] < 1e-4, res
+
+
+# The attention backbones (BN-free: LayerNorm only, so no running-stat or
+# batch-stat divergence channel) track torch much tighter than the conv/BN
+# families — measured loss rel ~2e-7, params p999 <= 5e-7. These rows prove
+# gradients through windowed/pooling attention, both rel-pos bias forms
+# (Swin's index-gathered table, MViT's decomposed interpolated tables),
+# patch merging, and the cls token against torch autograd.
+
+def test_video_train_step_parity_swin3d_t():
+    from tools.video_train_parity import video_train_parity
+    res = video_train_parity("swin3d_t")
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-5, res
+    assert res["param_frac_above_1e-4"] == 0.0, res
+
+
+def test_video_train_step_parity_swin3d_s():
+    from tools.video_train_parity import video_train_parity
+    res = video_train_parity("swin3d_s")
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-5, res
+    assert res["param_frac_above_1e-4"] == 0.0, res
+
+
+def test_video_train_step_parity_mvit_v1():
+    from tools.video_train_parity import video_train_parity
+    res = video_train_parity("mvit_v1_b")
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-5, res
+    assert res["param_frac_above_1e-4"] == 0.0, res
+
+
+def test_video_train_step_parity_mvit_v2():
+    from tools.video_train_parity import video_train_parity
+    res = video_train_parity("mvit_v2_s")
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-5, res
+    assert res["param_frac_above_1e-4"] == 0.0, res

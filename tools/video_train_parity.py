@@ -17,10 +17,18 @@ The torch side composes the randomized backbone replica
 (tools/torch_video_refs.py) with the reference's fresh Linear(400->out)
 task head (video/model/resnet.py:38-41); the flax side runs the production
 step body train/loop.py::_train_step_body exactly as fit_video uses it
-(augment off; dropout neutralized on both sides — RNG cannot be made
-bitwise identical across frameworks).
+(augment off; dropout AND stochastic depth neutralized on both sides —
+RNG cannot be made bitwise identical across frameworks; the torch replicas
+omit DropPath entirely, so the flax DropPath is patched to identity to
+compare the same deterministic graph).
 
-Usage: python tools/video_train_parity.py [r3d_18 s3d]
+r3 extension: all four attention backbones (swin3d_t/s, mvit_v1_b/v2_s)
+join r3d_18 + s3d — this additionally proves gradients through windowed /
+pooling attention, the rel-pos bias tables (both the Swin index-gather and
+the MViT decomposed interpolation forms), LayerNorm, GELU MLPs, and patch
+merging against torch autograd.
+
+Usage: python tools/video_train_parity.py [r3d_18 s3d swin3d_t mvit_v1_b ...]
 """
 
 from __future__ import annotations
@@ -64,6 +72,27 @@ def _flax_tree_err(a, b, path="", _acc=None):
             float(np.quantile(errs, 0.999)))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def flax_droppath_disabled():
+    """Neutralize stochastic depth (identity) for the duration: the torch
+    reconstructions omit DropPath (it is identity in eval, where the
+    forward-parity oracle lives), so train-mode comparison must drop it on
+    the flax side too."""
+    from multi_modal_csi_tpu.models.video import mvit, swin3d
+    patched = [(cls, cls.__call__) for cls in (mvit.DropPath,
+                                               swin3d.DropPath)]
+    for cls, _ in patched:
+        cls.__call__ = lambda self, x, deterministic=True: x
+    try:
+        yield
+    finally:
+        for cls, orig in patched:
+            cls.__call__ = orig
+
+
 def video_train_parity(arch: str = "r3d_18", steps: int = 3,
                        shape=(2, 3, 8, 64, 64), out_features: int = 54,
                        seed: int = 0):
@@ -72,7 +101,7 @@ def video_train_parity(arch: str = "r3d_18", steps: int = 3,
     import torch
 
     from convert_torchvision import CONVERTERS
-    from torch_video_refs import R3D18Ref, S3DRef
+    from torch_video_refs import MViTRef, R3D18Ref, S3DRef, Swin3DRef
     from train_parity import flax_dropout_disabled, neutralize_torch_dropout
     from video_parity_check import randomize_
 
@@ -81,7 +110,17 @@ def video_train_parity(arch: str = "r3d_18", steps: int = 3,
                                                 adam_like_torch)
     from convert_torchvision import build_model
 
-    builders = {"r3d_18": R3D18Ref, "s3d": S3DRef}
+    sp, tt = (shape[3], shape[4]), shape[2]
+    builders = {
+        "r3d_18": R3D18Ref,
+        "s3d": S3DRef,
+        "swin3d_t": lambda: Swin3DRef(depths=(2, 2, 6, 2)),
+        "swin3d_s": lambda: Swin3DRef(depths=(2, 2, 18, 2)),
+        "mvit_v1_b": lambda: MViTRef("v1", spatial_size=sp,
+                                     temporal_size=tt),
+        "mvit_v2_s": lambda: MViTRef("v2", spatial_size=sp,
+                                     temporal_size=tt),
+    }
     backbone = builders[arch]()
     randomize_(backbone, seed)
 
@@ -139,7 +178,7 @@ def video_train_parity(arch: str = "r3d_18", steps: int = 3,
     xs_j = np.transpose(xs, (0, 1, 3, 4, 5, 2))   # (K,B,T,H,W,C)
     losses_j = []
     p, s = params, stats
-    with flax_dropout_disabled():
+    with flax_dropout_disabled(), flax_droppath_disabled():
         step = jax.jit(_train_step_body(model, tx, loss_fn, augment=False))
         for k in range(steps):
             p, s, opt_state, loss, _ = step(
