@@ -51,6 +51,9 @@ def main() -> None:
                    help="component checkpoint (core.checkpoint.save_components)")
     p.add_argument("--dtype", default="auto",
                    help="auto | float32 | bfloat16 (auto = per-model default)")
+    p.add_argument("--input-dtype", default="float32",
+                   help="dtype the artifact accepts (bfloat16 halves H2D "
+                        "and first-layer HBM traffic; caller quantizes)")
     p.add_argument("--platforms", default="tpu,cpu")
     p.add_argument("--seed", type=int, default=39)
     args = p.parse_args()
@@ -83,10 +86,12 @@ def main() -> None:
 
     dtype = resolve_serving_dtype(args.dtype, args.model)
     blob = export_serving(model, variables, example, serving_dtype=dtype,
+                          input_dtype=args.input_dtype,
                           platforms=args.platforms.split(","))
     save_artifact(args.out, blob, {
         "model": args.model, "task": args.task, "batch": args.batch,
         "input_shape": list(shape), "serving_dtype": dtype,
+        "input_dtype": args.input_dtype,
         "platforms": args.platforms.split(","),
         "pretrained": bool(args.pretrained),
     })

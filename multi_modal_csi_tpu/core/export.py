@@ -38,11 +38,17 @@ _MAGIC = b"MMCSI-SERVE\x00"
 def export_serving(model, variables: Any, example_x,
                    *,
                    serving_dtype: Optional[str] = None,
+                   input_dtype: Optional[str] = None,
                    platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
     """Export `model.apply(variables, x, train=False)` as a serving artifact.
 
     example_x: array or ShapeDtypeStruct fixing the serving batch shape
     (static shapes — one artifact per batch size, as XLA wants).
+    input_dtype: dtype the artifact ACCEPTS (default: example_x's dtype).
+    A bfloat16 input contract halves host->device transfer and the
+    first-layer HBM read — the dominant cost for input-bandwidth-bound
+    models (MLP reads 3.24 MB/window of f32 input; BASELINE.md) — at the
+    cost of the caller quantizing on the host.
     Returns the serialized bytes (see save_artifact/load_serving).
     """
     from jax import export as jax_export
@@ -61,8 +67,9 @@ def export_serving(model, variables: Any, example_x,
         return jax.tree_util.tree_map(
             lambda o: o.astype(jnp.float32), out)
 
-    spec = jax.ShapeDtypeStruct(np.shape(example_x),
-                                getattr(example_x, "dtype", np.float32))
+    in_dtype = (jnp.dtype(input_dtype) if input_dtype
+                else getattr(example_x, "dtype", np.float32))
+    spec = jax.ShapeDtypeStruct(np.shape(example_x), in_dtype)
     from ..kernels.flash_attention import flash_mode
     mode = "on" if tuple(platforms) == ("tpu",) else "off"
     with flash_mode(mode):

@@ -74,6 +74,26 @@ def test_export_batch_shape_is_static():
     assert raised, "exported artifact must reject a different batch shape"
 
 
+def test_export_bf16_input_contract():
+    """input_dtype='bfloat16': the artifact accepts bf16 inputs (halved H2D
+    + first-layer HBM traffic), rejects f32, and matches the f32-input
+    artifact to bf16-rounding tolerance."""
+    model, variables, x = _tiny_model_and_vars()
+    blob = export_serving(model, variables, x, input_dtype="bfloat16",
+                          platforms=("cpu",))
+    fn = load_serving(blob)
+    out = fn(jnp.asarray(x, jnp.bfloat16))
+    assert out.dtype == jnp.float32
+    ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0.05, atol=0.05)
+    try:
+        fn(jnp.asarray(x, jnp.float32))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised, "bf16-input artifact must reject f32 input"
+
+
 def _attn_model_and_vars():
     """A model whose eval path hits the flash-attention gate (seq >= 64)."""
     import flax.linen as nn
