@@ -17,7 +17,8 @@ import argparse
 import jax
 import numpy as np
 
-from ..core.config import load_config, resolve_serving_dtype
+from ..core.config import (load_config, resolve_serving_batch,
+                           resolve_serving_dtype)
 
 # task -> (per-user class count, baseline flat out_dim, reduced out_dim)
 _TASK_DIMS = {
@@ -45,7 +46,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True)
     p.add_argument("--task", default="activity", choices=sorted(_TASK_DIMS))
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, default=0,
+                   help="serving batch (0 = the model's measured "
+                        "throughput knee, core.config.SERVING_BATCH_DEFAULTS)")
     p.add_argument("--out", required=True)
     p.add_argument("--pretrained", default=None,
                    help="component checkpoint (core.checkpoint.save_components)")
@@ -65,6 +68,8 @@ def main() -> None:
         raise SystemExit(f"unknown model {args.model}; "
                          f"choices: {sorted(CSI_MODELS)}")
     cfg = load_config(None, {"model": args.model, "task": args.task})
+    args.batch = resolve_serving_batch(args.model,
+                                       args.batch if args.batch > 0 else None)
     spec = CSI_MODELS[args.model]
     out_dim = infer_out_dim(args.model, args.task)
 

@@ -270,3 +270,31 @@ def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
     if compute_dtype != "auto":
         return compute_dtype
     return SERVING_DTYPE_DEFAULTS.get(model_name, _SERVING_DEFAULT_OTHER)
+
+
+# Measured serving batch-size knees (chained-marginal sweeps, BASELINE.md):
+# throughput rises with batch until the knee, then flattens or OOMs. CSI
+# models: DETR's bs256/512/1024 probe found bs256 at the knee; the other
+# CSI models were measured at bs256 in the bf16 sweep and are HBM- or
+# step-overhead-bound well below it, so bs256 is safe fleet-wide. Video:
+# the r3 batch-scaling sweep (tools/exp_video_batch.py) — ResNet3D bs64
+# (51.3% MFU; flat at 128), S3D bs32 (bs64 RESOURCE_EXHAUSTs the stem
+# activations), MViT and Swin measured FLAT in batch (per-clip
+# bandwidth-bound) so their default stays at the latency-friendly minimum.
+SERVING_BATCH_DEFAULTS: Dict[str, int] = {
+    "ResNet": 64,
+    "S3D": 32,
+    "Swin-T": 2,
+    "Swin-S": 2,
+    "MViT-v1": 2,
+    "MViT-v2": 2,
+}
+_SERVING_BATCH_OTHER = 256              # CSI-wide measured knee
+
+
+def resolve_serving_batch(model_name: str,
+                          batch: Optional[int] = None) -> int:
+    """Throughput-optimal serving batch for a model; explicit wins."""
+    if batch is not None and batch > 0:
+        return batch
+    return SERVING_BATCH_DEFAULTS.get(model_name, _SERVING_BATCH_OTHER)

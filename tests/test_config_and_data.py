@@ -117,3 +117,16 @@ def test_serving_dtype_defaults():
     assert resolve_serving_dtype("auto", "DETR") == "bfloat16"
     assert resolve_serving_dtype("bfloat16", "Swin-T") == "bfloat16"
     assert resolve_serving_dtype("float32", "S3D") == "float32"
+
+
+def test_serving_batch_defaults():
+    """Measured throughput knees (BASELINE.md batch-scaling sweeps) are the
+    "auto" serving batch; explicit values always win."""
+    from multi_modal_csi_tpu.core.config import resolve_serving_batch
+    assert resolve_serving_batch("DETR") == 256
+    assert resolve_serving_batch("MLP") == 256
+    assert resolve_serving_batch("ResNet") == 64
+    assert resolve_serving_batch("S3D") == 32
+    assert resolve_serving_batch("Swin-T") == 2
+    assert resolve_serving_batch("MViT-v2") == 2
+    assert resolve_serving_batch("S3D", 8) == 8
