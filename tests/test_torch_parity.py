@@ -109,6 +109,27 @@ def test_train_step_parity_detr():
     assert res["param_frac_above_1e-4"] < 0.05, res
 
 
+def test_train_step_parity_lstm():
+    """Gradients through the lax.scan LSTM cell == torch's fused LSTM
+    autograd (BCE pw6, Adam wd=0 — reference lstm.py:130-134). Measured
+    p999 2.2e-8: the scan-based backward is bit-tight against torch."""
+    from tools.train_parity import train_parity_lstm
+    res = train_parity_lstm()
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-6, res
+    assert res["param_frac_above_1e-4"] == 0.0, res
+
+
+def test_train_step_parity_cnn1d():
+    """The MSE-loss count-regression path (reference cnn_1d.py:168) +
+    strided-conv gradients, Adam wd=0."""
+    from tools.train_parity import train_parity_cnn1d
+    res = train_parity_cnn1d()
+    assert _loss_rel(res) < 1e-4, res
+    assert res["param_err_p999"] < 1e-5, res
+    assert res["param_frac_above_1e-4"] == 0.0, res
+
+
 # ---- video train-step parity (tools/video_train_parity.py) ----
 # Extends the proof class to the video modality: gradients through the 3D
 # conv/BN graphs, Adam(lr=1e-4, wd=0), BCE(pos_weight=1), BN train-mode

@@ -239,6 +239,13 @@ def check_mlp(atol=1e-4):
     return err
 
 
+def transplant_cnn1d(tm, v):
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    for i in range(3):
+        _conv1d(getattr(tm, f"layer_cnn_1d_{i}"), {"conv": v["params"][f"conv_{i}"]["conv"]})
+    _linear(tm.layer_linear, v["params"]["head"])
+
+
 def check_cnn1d(atol=1e-4):
     import jax, jax.numpy as jnp, torch
     from multi_modal_csi_tpu.models.csi.cnn_1d import CNN1D
@@ -248,10 +255,7 @@ def check_cnn1d(atol=1e-4):
     v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     ref = load_ref_module("cnn_1d.py")
     tm = ref.CNN_1D((T, F), (54,)); tm.eval()
-    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
-    for i in range(3):
-        _conv1d(getattr(tm, f"layer_cnn_1d_{i}"), {"conv": v["params"][f"conv_{i}"]["conv"]})
-    _linear(tm.layer_linear, v["params"]["head"])
+    transplant_cnn1d(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
@@ -288,6 +292,12 @@ def check_cnn2d(atol=1e-4):
     return err
 
 
+def transplant_lstm(tm, v):
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    _lstm(tm.layer_lstm, v["params"]["lstm"])
+    _linear(tm.layer_linear, v["params"]["head"])
+
+
 def check_lstm(atol=1e-4):
     import jax, jax.numpy as jnp, torch
     from multi_modal_csi_tpu.models.csi.lstm import LSTMModel
@@ -297,9 +307,7 @@ def check_lstm(atol=1e-4):
     v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     ref = load_ref_module("lstm.py")
     tm = ref.LSTMM((T, F), (54,)); tm.eval()
-    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
-    _lstm(tm.layer_lstm, v["params"]["lstm"])
-    _linear(tm.layer_linear, v["params"]["head"])
+    transplant_lstm(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))

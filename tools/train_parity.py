@@ -35,8 +35,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 from tools.measure_baseline import load_ref_module           # noqa: E402
-from tools.parity_check import (transplant_detr, transplant_mlp,  # noqa: E402
-                                transplant_that)
+from tools.parity_check import (transplant_cnn1d,  # noqa: E402
+                                transplant_detr, transplant_lstm,
+                                transplant_mlp, transplant_that)
 
 LR = 5e-4          # preset["nn"]["lr"] (preset.py:43)
 WD_DETR = 2e-4     # preset["nn"]["weight_decay"] (preset.py:61)
@@ -245,6 +246,70 @@ def train_parity_mlp_cosine(steps=6, batch=16, in_features=1024, seed=3,
             "param_err_p999": p999}
 
 
+def train_parity_lstm(steps=4, batch=8, T=200, F=90, seed=4):
+    """LSTM (model/lstm.py): BN + AvgPool(10) + LSTM(512) + Linear, BCE
+    pos_weight 6, Adam wd=0 (lstm.py:130-134). Proves gradients through the
+    lax.scan LSTM cell (nn/layers.py) == torch's fused LSTM autograd."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from multi_modal_csi_tpu.losses.basic import bce_with_logits
+    from multi_modal_csi_tpu.models.csi.lstm import LSTMModel
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, F)).astype(np.float32)
+    ys = (rng.random(size=(steps, batch, 54)) < 0.3).astype(np.float32)
+
+    model = LSTMModel(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), train=False)
+    ref = load_ref_module("lstm.py")
+    make_torch = lambda: ref.LSTMM((T, F), (54,))  # noqa: E731
+    tm = make_torch()
+    transplant_lstm(tm, v)
+
+    loss_jax = lambda out, y: bce_with_logits(out, y, pos_weight=6.0)  # noqa
+    loss_torch = torch.nn.BCEWithLogitsLoss(
+        pos_weight=torch.tensor([6.0] * 54))
+    losses_j, params, stats = _run_flax(model, v, loss_jax, xs, ys, LR, 0.0)
+    losses_t = _run_torch(tm, loss_torch, xs, ys, LR, 0.0)
+    perr, pkey, frac, p999 = _compare_final_params(
+        make_torch, transplant_lstm, tm, params, stats)
+    return {"model": "LSTM", "losses_jax": losses_j,
+            "losses_torch": losses_t, "param_err": perr,
+            "param_err_key": pkey, "param_frac_above_1e-4": frac,
+            "param_err_p999": p999}
+
+
+def train_parity_cnn1d(steps=4, batch=8, T=600, F=270, seed=5):
+    """CNN-1D (model/cnn_1d.py): the reference's count-regression oddball —
+    MSELoss on the raw multi-hot targets (cnn_1d.py:168), Adam wd=0."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from multi_modal_csi_tpu.losses.basic import mse
+    from multi_modal_csi_tpu.models.csi.cnn_1d import CNN1D
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, F)).astype(np.float32)
+    ys = (rng.random(size=(steps, batch, 54)) < 0.3).astype(np.float32)
+
+    model = CNN1D(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), train=False)
+    ref = load_ref_module("cnn_1d.py")
+    make_torch = lambda: ref.CNN_1D((T, F), (54,))  # noqa: E731
+    tm = make_torch()
+    transplant_cnn1d(tm, v)
+
+    losses_j, params, stats = _run_flax(model, v, mse, xs, ys, LR, 0.0)
+    losses_t = _run_torch(tm, torch.nn.MSELoss(), xs, ys, LR, 0.0)
+    perr, pkey, frac, p999 = _compare_final_params(
+        make_torch, transplant_cnn1d, tm, params, stats)
+    return {"model": "CNN-1D", "losses_jax": losses_j,
+            "losses_torch": losses_t, "param_err": perr,
+            "param_err_key": pkey, "param_frac_above_1e-4": frac,
+            "param_err_p999": p999}
+
+
 def train_parity_that(steps=4, batch=8, T=400, seed=1):
     """THAT (model/that.py): two-stream transformer trunk, BCE pos_weight 4,
     Adam wd=2e-4, var_mode=baseline (no scheduler)."""
@@ -343,7 +408,8 @@ def train_parity_detr(steps=4, batch=4, seed=2, num_decoder_layers=3):
 
 
 ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
-       "that": train_parity_that, "detr": train_parity_detr}
+       "that": train_parity_that, "detr": train_parity_detr,
+       "lstm": train_parity_lstm, "cnn1d": train_parity_cnn1d}
 
 
 if __name__ == "__main__":
