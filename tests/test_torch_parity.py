@@ -130,6 +130,17 @@ def test_train_step_parity_cnn1d():
     assert res["param_frac_above_1e-4"] == 0.0, res
 
 
+def test_train_step_parity_dual_band():
+    """The reference's OWN local DualBand loop (dual_band.py:174-233):
+    two CNN towers + residual fusion, BCE pw6, Adam wd=0. Our side stacks
+    bands into one (B, 2, T, F) input through the standard fit step."""
+    from tools.train_parity import train_parity_dual_band
+    res = train_parity_dual_band()
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-6, res
+    assert res["param_frac_above_1e-4"] == 0.0, res
+
+
 # ---- video train-step parity (tools/video_train_parity.py) ----
 # Extends the proof class to the video modality: gradients through the 3D
 # conv/BN graphs, Adam(lr=1e-4, wd=0), BCE(pos_weight=1), BN train-mode

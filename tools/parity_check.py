@@ -496,17 +496,7 @@ def check_that_count_constrained(atol=2e-4):
     return err
 
 
-def check_dual_band(atol=1e-4):
-    import jax, jax.numpy as jnp, torch
-    from multi_modal_csi_tpu.models.csi.dual_band import DualBandCNN
-    T, F = 600, 90
-    rng = np.random.default_rng(11)
-    x = rng.normal(size=(2, 2, T, F)).astype(np.float32)
-    model = DualBandCNN(out_features=54)
-    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
-    ref = load_ref_module("dual_band.py")
-    tm = ref.DualBandCNN((T, F), (T, F), (54,)); tm.eval()
-
+def transplant_dual_band(tm, v):
     def map_tower(dst, p, s):
         _bn(dst.layer_norm, p["input_norm"], s["input_norm"])
         for i in range(3):
@@ -519,6 +509,19 @@ def check_dual_band(atol=1e-4):
     for i in range(3):
         _linear(getattr(tm, f"linear{i+1}"), v["params"][f"res_{i}"])
     _linear(tm.final_linear, v["params"]["head"])
+
+
+def check_dual_band(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.dual_band import DualBandCNN
+    T, F = 600, 90
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 2, T, F)).astype(np.float32)
+    model = DualBandCNN(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("dual_band.py")
+    tm = ref.DualBandCNN((T, F), (T, F), (54,)); tm.eval()
+    transplant_dual_band(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x[:, 0]), torch.from_numpy(x[:, 1])).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))

@@ -36,8 +36,9 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 from tools.measure_baseline import load_ref_module           # noqa: E402
 from tools.parity_check import (transplant_cnn1d,  # noqa: E402
-                                transplant_detr, transplant_lstm,
-                                transplant_mlp, transplant_that)
+                                transplant_detr, transplant_dual_band,
+                                transplant_lstm, transplant_mlp,
+                                transplant_that)
 
 LR = 5e-4          # preset["nn"]["lr"] (preset.py:43)
 WD_DETR = 2e-4     # preset["nn"]["weight_decay"] (preset.py:61)
@@ -310,6 +311,54 @@ def train_parity_cnn1d(steps=4, batch=8, T=600, F=270, seed=5):
             "param_err_p999": p999}
 
 
+def train_parity_dual_band(steps=4, batch=8, T=600, F=90, seed=6):
+    """DualBand (model/dual_band.py): two CNN towers + residual fusion,
+    trained by the reference's OWN local loop (dual_band.py:174-233 — plain
+    fwd/zero_grad/backward/Adam, BCE pos_weight 6, wd=0). Our side stacks
+    the bands into one (B, 2, T, F) input and uses the standard fit step."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from multi_modal_csi_tpu.losses.basic import bce_with_logits
+    from multi_modal_csi_tpu.models.csi.dual_band import DualBandCNN
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, 2, T, F)).astype(np.float32)
+    ys = (rng.random(size=(steps, batch, 54)) < 0.3).astype(np.float32)
+
+    model = DualBandCNN(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), train=False)
+    ref = load_ref_module("dual_band.py")
+    make_torch = lambda: ref.DualBandCNN((T, F), (T, F), (54,))  # noqa
+    tm = make_torch()
+    transplant_dual_band(tm, v)
+
+    loss_jax = lambda out, y: bce_with_logits(out, y, pos_weight=6.0)  # noqa
+    loss_torch = torch.nn.BCEWithLogitsLoss(
+        pos_weight=torch.tensor([6.0] * 54))
+    losses_j, params, stats = _run_flax(model, v, loss_jax, xs, ys, LR, 0.0)
+
+    # torch side inline: the reference local loop feeds (x1, x2) separately
+    neutralize_torch_dropout(tm)
+    tm.train()
+    opt = torch.optim.Adam(tm.parameters(), lr=LR, weight_decay=0.0)
+    losses_t = []
+    for k in range(steps):
+        out = tm(torch.from_numpy(xs[k][:, 0]), torch.from_numpy(xs[k][:, 1]))
+        loss = loss_torch(out, torch.from_numpy(ys[k]))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses_t.append(float(loss))
+
+    perr, pkey, frac, p999 = _compare_final_params(
+        make_torch, transplant_dual_band, tm, params, stats)
+    return {"model": "DualBand", "losses_jax": losses_j,
+            "losses_torch": losses_t, "param_err": perr,
+            "param_err_key": pkey, "param_frac_above_1e-4": frac,
+            "param_err_p999": p999}
+
+
 def train_parity_that(steps=4, batch=8, T=400, seed=1):
     """THAT (model/that.py): two-stream transformer trunk, BCE pos_weight 4,
     Adam wd=2e-4, var_mode=baseline (no scheduler)."""
@@ -409,7 +458,8 @@ def train_parity_detr(steps=4, batch=4, seed=2, num_decoder_layers=3):
 
 ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
        "that": train_parity_that, "detr": train_parity_detr,
-       "lstm": train_parity_lstm, "cnn1d": train_parity_cnn1d}
+       "lstm": train_parity_lstm, "cnn1d": train_parity_cnn1d,
+       "dual_band": train_parity_dual_band}
 
 
 if __name__ == "__main__":
