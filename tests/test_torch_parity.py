@@ -141,6 +141,18 @@ def test_train_step_parity_dual_band():
     assert res["param_frac_above_1e-4"] == 0.0, res
 
 
+def test_train_step_parity_ssl():
+    """SimCLR path: symmetric InfoNCE through the projector + BCE on the
+    gradient-DETACHED online head (stop_gradient == torch detach), the
+    double per-step BN running update (backbone runs on both views), Adam
+    wd=0 — reference SSL_model.py:147-166 + train_ssl.py:41-51."""
+    from tools.train_parity import train_parity_ssl
+    res = train_parity_ssl()
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-5, res
+    assert res["param_frac_above_1e-4"] == 0.0, res
+
+
 # ---- video train-step parity (tools/video_train_parity.py) ----
 # Extends the proof class to the video modality: gradients through the 3D
 # conv/BN graphs, Adam(lr=1e-4, wd=0), BCE(pos_weight=1), BN train-mode

@@ -531,6 +531,23 @@ def check_dual_band(atol=1e-4):
     return err
 
 
+def transplant_ssl(tm, v):
+    """Full SS_Model mapping: backbone + online head + the SimCLR projector
+    (Linear-noBias + BN + ReLU + Linear-noBias + BN, SSL_model.py:40-52)."""
+    p, s = v["params"], v["batch_stats"]
+    _bn(tm.backbone.layer_norm, p["backbone"]["input_norm"],
+        s["backbone"]["input_norm"])
+    for i in range(3):
+        _conv1d(getattr(tm.backbone, f"layer_cnn_1d_{i}"),
+                {"conv": p["backbone"][f"conv_{i}"]["conv"]})
+    _linear(tm.backbone.layer_linear, p["backbone"]["head"])
+    _linear(tm.online_head, p["online_head"])
+    tm.projector[0].weight.data = _t(np.asarray(p["proj_1"]["kernel"]).T)
+    _bn(tm.projector[1], p["proj_bn_1"], s["proj_bn_1"])
+    tm.projector[3].weight.data = _t(np.asarray(p["proj_2"]["kernel"]).T)
+    _bn(tm.projector[4], p["proj_bn_2"], s["proj_bn_2"])
+
+
 def check_ssl(atol=1e-4):
     import jax, jax.numpy as jnp, torch
     from multi_modal_csi_tpu.models.csi.ssl import SSLModel
@@ -541,14 +558,7 @@ def check_ssl(atol=1e-4):
                    jnp.asarray(x), train=False)
     ref = load_ref_module("SSL_model.py")
     tm = ref.SS_Model((T, F), (54,)); tm.eval()
-    p, s = v["params"], v["batch_stats"]
-    _bn(tm.backbone.layer_norm, p["backbone"]["input_norm"],
-        s["backbone"]["input_norm"])
-    for i in range(3):
-        _conv1d(getattr(tm.backbone, f"layer_cnn_1d_{i}"),
-                {"conv": p["backbone"][f"conv_{i}"]["conv"]})
-    _linear(tm.backbone.layer_linear, p["backbone"]["head"])
-    _linear(tm.online_head, p["online_head"])
+    transplant_ssl(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x), inference=True).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), inference=True))

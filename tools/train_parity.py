@@ -38,7 +38,7 @@ from tools.measure_baseline import load_ref_module           # noqa: E402
 from tools.parity_check import (transplant_cnn1d,  # noqa: E402
                                 transplant_detr, transplant_dual_band,
                                 transplant_lstm, transplant_mlp,
-                                transplant_that)
+                                transplant_ssl, transplant_that)
 
 LR = 5e-4          # preset["nn"]["lr"] (preset.py:43)
 WD_DETR = 2e-4     # preset["nn"]["weight_decay"] (preset.py:61)
@@ -359,6 +359,82 @@ def train_parity_dual_band(steps=4, batch=8, T=600, F=90, seed=6):
             "param_err_p999": p999}
 
 
+def train_parity_ssl(steps=4, batch=8, T=600, F=90, seed=7):
+    """SSL (model/SSL_model.py): symmetric InfoNCE over the projector + BCE
+    on the gradient-DETACHED online head, Adam wd=0 (SSL_model.py:325-327,
+    loop train_ssl.py:16-51). Augmentation neutralized -> both views equal;
+    proves stop_gradient == detach, the InfoNCE CE gradients, and the
+    double per-step BatchNorm running update (backbone runs twice)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+    from multi_modal_csi_tpu.models.csi.ssl import SSLModel, ssl_loss
+    from multi_modal_csi_tpu.train.loop import adam_like_torch
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, F)).astype(np.float32)
+    ys = (rng.random(size=(steps, batch, 54)) < 0.3).astype(np.float32)
+
+    model = SSLModel(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), jnp.asarray(xs[0]), train=False)
+    ref = load_ref_module("SSL_model.py")
+    make_torch = lambda: ref.SS_Model((T, F), (54,))  # noqa: E731
+    tm = make_torch()
+    transplant_ssl(tm, v)
+
+    # flax side: the run_ssl step body (runners/ssl.py:65-80) with
+    # two_views replaced by the identity pair
+    tx = adam_like_torch(LR, 0.0)
+    params, batch_stats = v["params"], v["batch_stats"]
+    opt_state = tx.init(params)
+
+    with flax_dropout_disabled():
+        @jax.jit
+        def step(params, batch_stats, opt_state, bx, by):
+            def loss_wrap(p):
+                (z1, z2, logits), mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, bx, bx,
+                    train=True, mutable=["batch_stats"])
+                total, _ = ssl_loss(z1, z2, logits, by)
+                return total, mut
+
+            (loss, mut), grads = jax.value_and_grad(
+                loss_wrap, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, mut["batch_stats"], opt_state, loss
+
+        losses_j = []
+        for k in range(steps):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, jnp.asarray(xs[k]),
+                jnp.asarray(ys[k]))
+            losses_j.append(float(loss))
+    params, batch_stats = jax.device_get(params), jax.device_get(batch_stats)
+
+    # torch side: the reference SSL loop (train_ssl.py:41-51) with equal
+    # views; SS_Model.forward computes the loss itself
+    neutralize_torch_dropout(tm)
+    tm.train()
+    opt = torch.optim.Adam(tm.parameters(), lr=LR, weight_decay=0.0)
+    losses_t = []
+    for k in range(steps):
+        xk = torch.from_numpy(xs[k])
+        loss, _ = tm(xk, xk, torch.from_numpy(ys[k]))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses_t.append(float(loss))
+
+    perr, pkey, frac, p999 = _compare_final_params(
+        make_torch, transplant_ssl, tm, params, batch_stats)
+    return {"model": "SSL", "losses_jax": losses_j,
+            "losses_torch": losses_t, "param_err": perr,
+            "param_err_key": pkey, "param_frac_above_1e-4": frac,
+            "param_err_p999": p999}
+
+
 def train_parity_that(steps=4, batch=8, T=400, seed=1):
     """THAT (model/that.py): two-stream transformer trunk, BCE pos_weight 4,
     Adam wd=2e-4, var_mode=baseline (no scheduler)."""
@@ -459,7 +535,8 @@ def train_parity_detr(steps=4, batch=4, seed=2, num_decoder_layers=3):
 ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
        "that": train_parity_that, "detr": train_parity_detr,
        "lstm": train_parity_lstm, "cnn1d": train_parity_cnn1d,
-       "dual_band": train_parity_dual_band}
+       "dual_band": train_parity_dual_band,
+       "ssl": train_parity_ssl}
 
 
 if __name__ == "__main__":
