@@ -153,6 +153,18 @@ def test_train_step_parity_ssl():
     assert res["param_frac_above_1e-4"] == 0.0, res
 
 
+def test_train_step_parity_that_multi_head():
+    """PermutationMatchingLoss gradients: our vectorized 120-permutation
+    table enumeration vs the reference's O(B*5!) python loop, with the
+    multi_head-mode cosine-warmup scheduler active. THAT-trunk-style
+    isolated Adam sign-flips on near-zero grads bound the distribution."""
+    from tools.train_parity import train_parity_that_multi_head
+    res = train_parity_that_multi_head()
+    assert _loss_rel(res) < 1e-4, res
+    assert res["param_err_p999"] < 1e-4, res
+    assert res["param_frac_above_1e-4"] < 1e-3, res
+
+
 # ---- video train-step parity (tools/video_train_parity.py) ----
 # Extends the proof class to the video modality: gradients through the 3D
 # conv/BN graphs, Adam(lr=1e-4, wd=0), BCE(pos_weight=1), BN train-mode

@@ -455,6 +455,12 @@ def _that_trunk(tm, tp, ts):
     _conv1d(tm.layer_right_cnn_1, {"conv": tp["right_cnn_1"]["conv"]})
 
 
+def transplant_that_multi_head(tm, v):
+    _that_trunk(tm, v["params"]["trunk"], v["batch_stats"]["trunk"])
+    for i in range(5):
+        _linear(tm.layer_output[i], v["params"][f"head_{i}"])
+
+
 def check_that_multi_head(atol=2e-4):
     import jax, jax.numpy as jnp, torch
     from multi_modal_csi_tpu.models.csi.that import THATMultiHead
@@ -464,9 +470,7 @@ def check_that_multi_head(atol=2e-4):
     v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     ref = load_ref_module("that_multi_head.py")
     tm = ref.THAT((T, F), (10,)); tm.eval()
-    _that_trunk(tm, v["params"]["trunk"], v["batch_stats"]["trunk"])
-    for i in range(5):
-        _linear(tm.layer_output[i], v["params"][f"head_{i}"])
+    transplant_that_multi_head(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))

@@ -38,7 +38,8 @@ from tools.measure_baseline import load_ref_module           # noqa: E402
 from tools.parity_check import (transplant_cnn1d,  # noqa: E402
                                 transplant_detr, transplant_dual_band,
                                 transplant_lstm, transplant_mlp,
-                                transplant_ssl, transplant_that)
+                                transplant_ssl, transplant_that,
+                                transplant_that_multi_head)
 
 LR = 5e-4          # preset["nn"]["lr"] (preset.py:43)
 WD_DETR = 2e-4     # preset["nn"]["weight_decay"] (preset.py:61)
@@ -532,11 +533,54 @@ def train_parity_detr(steps=4, batch=4, seed=2, num_decoder_layers=3):
             "param_err_p999": p999}
 
 
+def train_parity_that_multi_head(steps=4, batch=8, T=400, seed=8):
+    """THAT_MULTI_HEAD (model/that_multi_head.py): THAT trunk + 5 per-user
+    heads, PermutationMatchingLoss (the reference's O(B*5!) python loop vs
+    our vectorized table enumeration — losses/matching.py:186), Adam wd=0,
+    var_mode=multi_head so the cosine-warmup scheduler is ACTIVE
+    (train.py:57-63)."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.losses.matching import permutation_matching_loss
+    from multi_modal_csi_tpu.models.csi.that import THATMultiHead
+    from multi_modal_csi_tpu.train.schedules import cosine_warmup
+    H, C = 5, 10
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, 270)).astype(np.float32)
+    ys = np.zeros((steps, batch, H, C), np.float32)
+    classes = rng.integers(0, C, size=(steps, batch, H))
+    for s in range(steps):
+        for b in range(batch):
+            ys[s, b, np.arange(H), classes[s, b]] = 1.0
+
+    model = THATMultiHead(out_features=C)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), train=False)
+    ref = load_ref_module("that_multi_head.py")
+    make_torch = lambda: ref.THAT((T, 270), (C,))  # noqa: E731
+    tm = make_torch()
+    transplant_that_multi_head(tm, v)
+
+    warmup, total, min_ratio = 2, steps, 0.05
+    schedule = cosine_warmup(LR, warmup, total, min_ratio)
+    losses_j, params, stats = _run_flax(model, v, permutation_matching_loss,
+                                        xs, ys, schedule, 0.0)
+    losses_t = _run_torch(tm, ref.PermutationMatchingLoss(), xs, ys, LR,
+                          0.0, schedule_cfg=(warmup, total, min_ratio))
+    perr, pkey, frac, p999 = _compare_final_params(
+        make_torch, transplant_that_multi_head, tm, params, stats)
+    return {"model": "THAT_MULTI_HEAD", "losses_jax": losses_j,
+            "losses_torch": losses_t, "param_err": perr,
+            "param_err_key": pkey, "param_frac_above_1e-4": frac,
+            "param_err_p999": p999}
+
+
 ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
        "that": train_parity_that, "detr": train_parity_detr,
        "lstm": train_parity_lstm, "cnn1d": train_parity_cnn1d,
        "dual_band": train_parity_dual_band,
-       "ssl": train_parity_ssl}
+       "ssl": train_parity_ssl,
+       "that_multi_head": train_parity_that_multi_head}
 
 
 if __name__ == "__main__":
