@@ -165,6 +165,20 @@ def test_train_step_parity_that_multi_head():
     assert res["param_frac_above_1e-4"] < 1e-3, res
 
 
+def test_train_step_parity_that_encoder():
+    """Per-layer Hungarian matching (that_encoder.py:540-612) + the
+    weight-shared decoder with the r3 KV-hoist: gradients == torch while
+    params are bit-close. Like DETR but stronger (a discrete matching per
+    decoder LAYER), step 3+ flips assignments on ~1e-5 param noise and the
+    trajectories diverge in any implementation (measured: 4-step loss rel
+    1.6e-2 while 2-step is 2e-6), so the assertion window is 2 steps."""
+    from tools.train_parity import train_parity_that_encoder
+    res = train_parity_that_encoder(steps=2)
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-4, res
+    assert res["param_frac_above_1e-4"] < 1e-3, res
+
+
 # ---- video train-step parity (tools/video_train_parity.py) ----
 # Extends the proof class to the video modality: gradients through the 3D
 # conv/BN graphs, Adam(lr=1e-4, wd=0), BCE(pos_weight=1), BN train-mode

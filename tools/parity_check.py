@@ -382,24 +382,8 @@ if __name__ == "__main__":
     print("PARITY OK")
 
 
-def check_that_encoder(atol=2e-4):
-    import jax, jax.numpy as jnp, torch
-    from multi_modal_csi_tpu.models.csi.that_encoder import THATEncoderDETR
-    T, F = 400, 270
-    x = np.random.default_rng(8).normal(size=(2, T, F)).astype(np.float32)
-    model = THATEncoderDETR(temp_cross=1.0, num_queries=5, num_decoder_layers=3)
-    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+def transplant_that_encoder(tm, v, num_decoder_layers=3):
     p, s = v["params"], v["batch_stats"]
-
-    ref = load_ref_module("that_encoder.py")
-    tm = ref.DETR_MultiUser((T, F), (54,), temp_cross=1, num_queries=5)
-    # the reference hardcodes 6 decoder layers; rebuild with 3 for the test
-    tm.decoder = ref.TransformerDecoder(d_model=270, nhead=6,
-                                        num_decoder_layers=3, num_queries=5,
-                                        dim_feedforward=2048,
-                                        temp_cross_attention=1)
-    tm.eval()
-
     ep, es = p["encoder"], s["encoder"]
     _gaussian(tm.encoder.layer_left_gaussian, ep["gaussian"])
     for i in range(4):
@@ -423,8 +407,29 @@ def check_that_encoder(atol=2e-4):
     _linear(layer.ffn[0], lp["ffn_up"])
     _linear(layer.ffn[3], lp["ffn_down"])
     _ln(tm.decoder.norm, dp["norm"])
-    for i in range(4):      # num_layers + 1 heads
+    for i in range(num_decoder_layers + 1):
         _linear(tm.decoder.class_embed[i], dp[f"class_embed_{i}"])
+
+
+def check_that_encoder(atol=2e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.that_encoder import THATEncoderDETR
+    T, F = 400, 270
+    x = np.random.default_rng(8).normal(size=(2, T, F)).astype(np.float32)
+    model = THATEncoderDETR(temp_cross=1.0, num_queries=5, num_decoder_layers=3)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    p, s = v["params"], v["batch_stats"]
+
+    ref = load_ref_module("that_encoder.py")
+    tm = ref.DETR_MultiUser((T, F), (54,), temp_cross=1, num_queries=5)
+    # the reference hardcodes 6 decoder layers; rebuild with 3 for the test
+    tm.decoder = ref.TransformerDecoder(d_model=270, nhead=6,
+                                        num_decoder_layers=3, num_queries=5,
+                                        dim_feedforward=2048,
+                                        temp_cross_attention=1)
+    tm.eval()
+
+    transplant_that_encoder(tm, v)
 
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()

@@ -39,6 +39,7 @@ from tools.parity_check import (transplant_cnn1d,  # noqa: E402
                                 transplant_detr, transplant_dual_band,
                                 transplant_lstm, transplant_mlp,
                                 transplant_ssl, transplant_that,
+                                transplant_that_encoder,
                                 transplant_that_multi_head)
 
 LR = 5e-4          # preset["nn"]["lr"] (preset.py:43)
@@ -575,12 +576,84 @@ def train_parity_that_multi_head(steps=4, batch=8, T=400, seed=8):
             "param_err_p999": p999}
 
 
+def train_parity_that_encoder(steps=4, batch=4, T=400, seed=9,
+                              num_decoder_layers=3):
+    """THAT_ENCODER (model/that_encoder.py): 420-token memory + weight-
+    shared DETR decoder with PER-LAYER Hungarian matching (that_encoder.py
+    :540-612 — unlike detr.py's final-layer reuse), Adam wd=2e-4, scheduler
+    active. Also proves the r3 decoder KV-HOIST (nn/layers.py MHA `kv=`,
+    the shared cross-attn K/V projected once outside the depth loop) is
+    gradient-exact against torch's unhoisted per-layer projection."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.losses.matching import HungarianMatchingLoss
+    from multi_modal_csi_tpu.models.csi.that_encoder import THATEncoderDETR
+    from multi_modal_csi_tpu.train.schedules import cosine_warmup
+    Q, C = 5, 10
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, 270)).astype(np.float32)
+    ys = np.zeros((steps, batch, Q, C), np.float32)
+    classes = rng.integers(0, C, size=(steps, batch, Q))
+    for s in range(steps):
+        for b in range(batch):
+            ys[s, b, np.arange(Q), classes[s, b]] = 1.0
+
+    model = THATEncoderDETR(temp_cross=1.0, num_queries=Q,
+                            num_decoder_layers=num_decoder_layers)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), train=False)
+    ref = load_ref_module("that_encoder.py")
+
+    def make_torch():
+        # the reference's Transformer_Encoder constructs DEAD conv modules
+        # (layer_left/right_cnn_*) that its forward never calls — they get
+        # no gradient and the transplant (rightly) never maps them, so both
+        # constructions must draw identical random inits for the final
+        # state_dict comparison to see only TRAINED keys.
+        import torch
+        torch.manual_seed(1234)
+        tm = ref.DETR_MultiUser((T, 270), (54,), temp_cross=1, num_queries=Q)
+        # the reference hardcodes 6 decoder layers; rebuild with 3
+        tm.decoder = ref.TransformerDecoder(
+            d_model=270, nhead=6, num_decoder_layers=num_decoder_layers,
+            num_queries=Q, dim_feedforward=2048, temp_cross_attention=1)
+        return tm
+
+    tm = make_torch()
+    transplant_that_encoder(tm, v, num_decoder_layers)
+
+    loss_jax = HungarianMatchingLoss(cost_class_weight=1.0,
+                                     aux_loss_weight=0.25,
+                                     label_smoothing=0.3,
+                                     class_imbalance_weight=0.25,
+                                     per_layer_matching=True)
+    with _cuda_to_noop():
+        loss_torch = ref.HungarianMatchingLoss(
+            cost_class_weight=1.0, aux_loss_weight=0.25,
+            label_smoothing=0.3, class_imbalance_weight=0.25)
+
+    warmup, total, min_ratio = 2, steps, 0.05
+    schedule = cosine_warmup(LR, warmup, total, min_ratio)
+    losses_j, params, stats = _run_flax(model, v, loss_jax, xs, ys,
+                                        schedule, WD_DETR)
+    losses_t = _run_torch(tm, loss_torch, xs, ys, LR, WD_DETR,
+                          schedule_cfg=(warmup, total, min_ratio))
+    perr, pkey, frac, p999 = _compare_final_params(
+        make_torch, lambda t, vv: transplant_that_encoder(
+            t, vv, num_decoder_layers), tm, params, stats)
+    return {"model": "THAT_ENCODER", "losses_jax": losses_j,
+            "losses_torch": losses_t, "param_err": perr,
+            "param_err_key": pkey, "param_frac_above_1e-4": frac,
+            "param_err_p999": p999}
+
+
 ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
        "that": train_parity_that, "detr": train_parity_detr,
        "lstm": train_parity_lstm, "cnn1d": train_parity_cnn1d,
        "dual_band": train_parity_dual_band,
        "ssl": train_parity_ssl,
-       "that_multi_head": train_parity_that_multi_head}
+       "that_multi_head": train_parity_that_multi_head,
+       "that_encoder": train_parity_that_encoder}
 
 
 if __name__ == "__main__":
