@@ -179,6 +179,25 @@ def test_train_step_parity_that_encoder():
     assert res["param_frac_above_1e-4"] < 1e-3, res
 
 
+def test_train_step_parity_that_count():
+    """SmoothL1 count regression (that_count_pred.py:414-419), wd=0."""
+    from tools.train_parity import train_parity_that_count
+    res = train_parity_that_count()
+    assert _loss_rel(res) < 1e-4, res
+    assert res["param_err_p999"] < 1e-4, res
+    assert res["param_frac_above_1e-4"] < 1e-3, res
+
+
+def test_train_step_parity_that_count_constrained():
+    """Softmax-constrained counts (gradients through the per-row softmax +
+    sum head), SmoothL1, Adam wd=1e-4 (withSoftMaxConstraint.py:468-470)."""
+    from tools.train_parity import train_parity_that_count
+    res = train_parity_that_count(constrained=True)
+    assert _loss_rel(res) < 1e-4, res
+    assert res["param_err_p999"] < 1e-4, res
+    assert res["param_frac_above_1e-4"] < 1e-3, res
+
+
 # ---- video train-step parity (tools/video_train_parity.py) ----
 # Extends the proof class to the video modality: gradients through the 3D
 # conv/BN graphs, Adam(lr=1e-4, wd=0), BCE(pos_weight=1), BN train-mode

@@ -485,6 +485,13 @@ def check_that_multi_head(atol=2e-4):
     return err
 
 
+def transplant_that_count(tm, v):
+    """THAT trunk + single output head (shared by THAT_COUNT and the
+    softmax-constrained variant)."""
+    _that_trunk(tm, v["params"]["trunk"], v["batch_stats"]["trunk"])
+    _linear(tm.layer_output, v["params"]["head"])
+
+
 def check_that_count_constrained(atol=2e-4):
     import jax, jax.numpy as jnp, torch
     from multi_modal_csi_tpu.models.csi.that import THATCountConstrained
@@ -494,8 +501,7 @@ def check_that_count_constrained(atol=2e-4):
     v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     ref = load_ref_module("that_count_pred_withSoftMaxConstraint.py")
     tm = ref.THAT_COUNT_PRED_with_Constraint((T, F), (10,)); tm.eval()
-    _that_trunk(tm, v["params"]["trunk"], v["batch_stats"]["trunk"])
-    _linear(tm.layer_output, v["params"]["head"])
+    transplant_that_count(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
@@ -591,8 +597,7 @@ def check_that_count(atol=2e-4):
     v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     ref = load_ref_module("that_count_pred.py")
     tm = ref.THAT_COUNT_PRED((T, F), (9,)); tm.eval()
-    _that_trunk(tm, v["params"]["trunk"], v["batch_stats"]["trunk"])
-    _linear(tm.layer_output, v["params"]["head"])
+    transplant_that_count(tm, v)
     import torch as _torch
     with _torch.no_grad():
         want = tm(_torch.from_numpy(x)).numpy()

@@ -39,6 +39,7 @@ from tools.parity_check import (transplant_cnn1d,  # noqa: E402
                                 transplant_detr, transplant_dual_band,
                                 transplant_lstm, transplant_mlp,
                                 transplant_ssl, transplant_that,
+                                transplant_that_count,
                                 transplant_that_encoder,
                                 transplant_that_multi_head)
 
@@ -647,13 +648,65 @@ def train_parity_that_encoder(steps=4, batch=4, T=400, seed=9,
             "param_err_p999": p999}
 
 
+def train_parity_that_count(steps=4, batch=8, T=400, seed=10,
+                            constrained=False):
+    """THAT_COUNT (that_count_pred.py:414-419: SmoothL1 on 9 activity
+    counts, Adam wd=0) and THAT_COUNT_CONSTRAINED (softmax-constrained
+    counts, SmoothL1, Adam wd=1e-4 — withSoftMaxConstraint.py:468-470).
+    Count targets mimic the loop's y.sum(axis=1) / the pre-summed labels."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from multi_modal_csi_tpu.losses.basic import smooth_l1
+    from multi_modal_csi_tpu.models.csi.that import (THATCount,
+                                                     THATCountConstrained)
+    C = 10 if constrained else 9
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, 270)).astype(np.float32)
+    # integer count vectors summing to <= 5 users
+    ys = np.zeros((steps, batch, C), np.float32)
+    for s in range(steps):
+        for b in range(batch):
+            picks = rng.integers(0, C, size=5)
+            for c in picks:
+                ys[s, b, c] += 1.0
+
+    model = THATCountConstrained() if constrained else THATCount(out_features=C)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), train=False)
+    if constrained:
+        ref = load_ref_module("that_count_pred_withSoftMaxConstraint.py")
+        make_torch = lambda: ref.THAT_COUNT_PRED_with_Constraint(  # noqa
+            (T, 270), (C,))
+        wd = 1e-4
+    else:
+        ref = load_ref_module("that_count_pred.py")
+        make_torch = lambda: ref.THAT_COUNT_PRED((T, 270), (C,))  # noqa
+        wd = 0.0
+    tm = make_torch()
+    transplant_that_count(tm, v)
+
+    losses_j, params, stats = _run_flax(model, v, smooth_l1, xs, ys, LR, wd)
+    losses_t = _run_torch(tm, torch.nn.SmoothL1Loss(), xs, ys, LR, wd)
+    perr, pkey, frac, p999 = _compare_final_params(
+        make_torch, transplant_that_count, tm, params, stats)
+    return {"model": "THAT_COUNT_CONSTRAINED" if constrained
+            else "THAT_COUNT", "losses_jax": losses_j,
+            "losses_torch": losses_t, "param_err": perr,
+            "param_err_key": pkey, "param_frac_above_1e-4": frac,
+            "param_err_p999": p999}
+
+
 ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
        "that": train_parity_that, "detr": train_parity_detr,
        "lstm": train_parity_lstm, "cnn1d": train_parity_cnn1d,
        "dual_band": train_parity_dual_band,
        "ssl": train_parity_ssl,
        "that_multi_head": train_parity_that_multi_head,
-       "that_encoder": train_parity_that_encoder}
+       "that_encoder": train_parity_that_encoder,
+       "that_count": train_parity_that_count,
+       "that_count_constrained":
+           lambda **kw: train_parity_that_count(constrained=True, **kw)}
 
 
 if __name__ == "__main__":
