@@ -198,6 +198,34 @@ def test_train_step_parity_that_count_constrained():
     assert res["param_frac_above_1e-4"] < 1e-3, res
 
 
+def test_train_step_parity_cnn2d():
+    """BCE pw6 + Adam wd=1e-4; ALSO proves the r3 space-to-depth first-conv
+    reformulation is gradient-exact vs the reference's plain conv."""
+    from tools.train_parity import train_parity_cnn2d
+    res = train_parity_cnn2d()
+    assert _loss_rel(res) < 1e-4, res
+    assert res["param_err_p999"] < 1e-5, res
+    assert res["param_frac_above_1e-4"] < 1e-4, res
+
+
+def test_train_step_parity_ablstm():
+    """Gradients through the BIDIRECTIONAL lax.scan LSTM + time attention."""
+    from tools.train_parity import train_parity_ablstm
+    res = train_parity_ablstm()
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-5, res
+    assert res["param_frac_above_1e-4"] < 1e-3, res
+
+
+def test_train_step_parity_clstm():
+    """Strided conv + BN stack feeding a scan LSTM (BCE pw8)."""
+    from tools.train_parity import train_parity_clstm
+    res = train_parity_clstm()
+    assert _loss_rel(res) < 1e-5, res
+    assert res["param_err_p999"] < 1e-4, res
+    assert res["param_frac_above_1e-4"] < 1e-4, res
+
+
 # ---- video train-step parity (tools/video_train_parity.py) ----
 # Extends the proof class to the video modality: gradients through the 3D
 # conv/BN graphs, Adam(lr=1e-4, wd=0), BCE(pos_weight=1), BN train-mode

@@ -265,15 +265,7 @@ def check_cnn1d(atol=1e-4):
     return err
 
 
-def check_cnn2d(atol=1e-4):
-    import jax, jax.numpy as jnp, torch
-    from multi_modal_csi_tpu.models.csi.cnn_2d import CNN2D
-    T, F = 300, 270
-    x = np.random.default_rng(4).normal(size=(2, T, F)).astype(np.float32)
-    model = CNN2D(out_features=54)
-    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
-    ref = load_ref_module("cnn_2d.py")
-    tm = ref.CNN_2D((T, F), (54,)); tm.eval()
+def transplant_cnn2d(tm, v):
     for i in range(4):
         _bn(getattr(tm, f"layer_norm_{i}"), v["params"][f"norm_{i}"], v["batch_stats"][f"norm_{i}"])
     for i in range(3):
@@ -283,6 +275,18 @@ def check_cnn2d(atol=1e-4):
         conv.weight.data = _t(np.transpose(kern, (3, 2, 0, 1)))
         conv.bias.data = _t(v["params"][f"conv_{i}"]["conv"]["bias"])
     _linear(tm.layer_linear, v["params"]["head"])
+
+
+def check_cnn2d(atol=1e-4):
+    import jax, jax.numpy as jnp, torch
+    from multi_modal_csi_tpu.models.csi.cnn_2d import CNN2D
+    T, F = 300, 270
+    x = np.random.default_rng(4).normal(size=(2, T, F)).astype(np.float32)
+    model = CNN2D(out_features=54)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    ref = load_ref_module("cnn_2d.py")
+    tm = ref.CNN_2D((T, F), (54,)); tm.eval()
+    transplant_cnn2d(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
@@ -317,6 +321,14 @@ def check_lstm(atol=1e-4):
     return err
 
 
+def transplant_ablstm(tm, v):
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    _lstm(tm.layer_bilstm, v["params"]["bilstm"], "fwd", "l0")
+    _lstm(tm.layer_bilstm, v["params"]["bilstm"], "bwd", "l0_reverse")
+    _linear(tm.layer_linear, v["params"]["attn"])
+    _linear(tm.layer_output, v["params"]["head"])
+
+
 def check_ablstm(atol=1e-4):
     import jax, jax.numpy as jnp, torch
     from multi_modal_csi_tpu.models.csi.ablstm import ABLSTM
@@ -326,11 +338,7 @@ def check_ablstm(atol=1e-4):
     v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     ref = load_ref_module("ablstm.py")
     tm = ref.ABLSTM((T, F), (54,)); tm.eval()
-    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
-    _lstm(tm.layer_bilstm, v["params"]["bilstm"], "fwd", "l0")
-    _lstm(tm.layer_bilstm, v["params"]["bilstm"], "bwd", "l0_reverse")
-    _linear(tm.layer_linear, v["params"]["attn"])
-    _linear(tm.layer_output, v["params"]["head"])
+    transplant_ablstm(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))
@@ -338,6 +346,15 @@ def check_ablstm(atol=1e-4):
     print(f"ABLSTM parity: {err:.2e}")
     assert err < atol
     return err
+
+
+def transplant_clstm(tm, v):
+    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
+    for i in range(3):
+        _conv1d(getattr(tm, f"layer_cnn_1d_{i}"), {"conv": v["params"][f"conv_{i}"]["conv"]})
+        _bn(getattr(tm, f"layer_norm_{i}"), v["params"][f"norm_{i}"], v["batch_stats"][f"norm_{i}"])
+    _lstm(tm.layer_lstm, v["params"]["lstm"])
+    _linear(tm.layer_linear, v["params"]["head"])
 
 
 def check_clstm(atol=1e-4):
@@ -349,12 +366,7 @@ def check_clstm(atol=1e-4):
     v = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     ref = load_ref_module("cnn_lstm.py")
     tm = ref.CNN_LSTM((T, F), (54,)); tm.eval()
-    _bn(tm.layer_norm, v["params"]["input_norm"], v["batch_stats"]["input_norm"])
-    for i in range(3):
-        _conv1d(getattr(tm, f"layer_cnn_1d_{i}"), {"conv": v["params"][f"conv_{i}"]["conv"]})
-        _bn(getattr(tm, f"layer_norm_{i}"), v["params"][f"norm_{i}"], v["batch_stats"][f"norm_{i}"])
-    _lstm(tm.layer_lstm, v["params"]["lstm"])
-    _linear(tm.layer_linear, v["params"]["head"])
+    transplant_clstm(tm, v)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(v, jnp.asarray(x), train=False))

@@ -35,7 +35,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 from tools.measure_baseline import load_ref_module           # noqa: E402
-from tools.parity_check import (transplant_cnn1d,  # noqa: E402
+from tools.parity_check import (transplant_ablstm,  # noqa: E402
+                                transplant_clstm, transplant_cnn1d,
+                                transplant_cnn2d,
                                 transplant_detr, transplant_dual_band,
                                 transplant_lstm, transplant_mlp,
                                 transplant_ssl, transplant_that,
@@ -697,6 +699,70 @@ def train_parity_that_count(steps=4, batch=8, T=400, seed=10,
             "param_err_p999": p999}
 
 
+def _bce_train_parity(model, make_torch, transplant, name, xs, ys,
+                      pos_weight, wd):
+    """Shared body for the remaining BCE baseline models."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from multi_modal_csi_tpu.losses.basic import bce_with_logits
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), train=False)
+    tm = make_torch()
+    transplant(tm, v)
+    loss_jax = lambda o, y: bce_with_logits(o, y, pos_weight=pos_weight)  # noqa
+    loss_torch = torch.nn.BCEWithLogitsLoss(
+        pos_weight=torch.tensor([pos_weight] * ys.shape[-1]))
+    losses_j, params, stats = _run_flax(model, v, loss_jax, xs, ys, LR, wd)
+    losses_t = _run_torch(tm, loss_torch, xs, ys, LR, wd)
+    perr, pkey, frac, p999 = _compare_final_params(make_torch, transplant,
+                                                   tm, params, stats)
+    return {"model": name, "losses_jax": losses_j, "losses_torch": losses_t,
+            "param_err": perr, "param_err_key": pkey,
+            "param_frac_above_1e-4": frac, "param_err_p999": p999}
+
+
+def train_parity_cnn2d(steps=4, batch=8, T=300, F=270, seed=11):
+    """CNN-2D (cnn_2d.py:162-166: BCE pw6, Adam wd=1e-4): ALSO proves the
+    r3 space-to-depth first-conv reformulation (models/csi/cnn_2d.py) is
+    gradient-exact against the reference's plain 1-channel k27/s7 conv."""
+    from multi_modal_csi_tpu.models.csi.cnn_2d import CNN2D
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, F)).astype(np.float32)
+    ys = (rng.random(size=(steps, batch, 54)) < 0.3).astype(np.float32)
+    ref = load_ref_module("cnn_2d.py")
+    return _bce_train_parity(CNN2D(out_features=54),
+                             lambda: ref.CNN_2D((T, F), (54,)),
+                             transplant_cnn2d, "CNN-2D", xs, ys, 6.0, 1e-4)
+
+
+def train_parity_ablstm(steps=4, batch=8, T=320, F=90, seed=12):
+    """ABLSTM (ablstm.py:154-158: BCE pw6, wd=0): gradients through the
+    BIDIRECTIONAL lax.scan LSTM + the time-attention head."""
+    from multi_modal_csi_tpu.models.csi.ablstm import ABLSTM
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, F)).astype(np.float32)
+    ys = (rng.random(size=(steps, batch, 54)) < 0.3).astype(np.float32)
+    ref = load_ref_module("ablstm.py")
+    return _bce_train_parity(ABLSTM(out_features=54),
+                             lambda: ref.ABLSTM((T, F), (54,)),
+                             transplant_ablstm, "ABLSTM", xs, ys, 6.0, 0.0)
+
+
+def train_parity_clstm(steps=4, batch=8, T=1800, F=90, seed=13):
+    """CLSTM (cnn_lstm.py:172-176: BCE pw8, wd=0): strided conv + BN
+    stack feeding a scan LSTM. T >= 1624 or the k128/s8-k64/s4-k32/s2
+    stack leaves zero timesteps."""
+    from multi_modal_csi_tpu.models.csi.clstm import CLSTM
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, F)).astype(np.float32)
+    ys = (rng.random(size=(steps, batch, 54)) < 0.3).astype(np.float32)
+    ref = load_ref_module("cnn_lstm.py")
+    return _bce_train_parity(CLSTM(out_features=54),
+                             lambda: ref.CNN_LSTM((T, F), (54,)),
+                             transplant_clstm, "CLSTM", xs, ys, 8.0, 0.0)
+
+
 ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
        "that": train_parity_that, "detr": train_parity_detr,
        "lstm": train_parity_lstm, "cnn1d": train_parity_cnn1d,
@@ -704,6 +770,8 @@ ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
        "ssl": train_parity_ssl,
        "that_multi_head": train_parity_that_multi_head,
        "that_encoder": train_parity_that_encoder,
+       "cnn2d": train_parity_cnn2d, "ablstm": train_parity_ablstm,
+       "clstm": train_parity_clstm,
        "that_count": train_parity_that_count,
        "that_count_constrained":
            lambda **kw: train_parity_that_count(constrained=True, **kw)}
