@@ -37,7 +37,19 @@ def epoch_batches(n: int, batch_size: int, rng: np.random.Generator,
 def device_batches(x: np.ndarray, y: np.ndarray, index_matrix: np.ndarray,
                    sharding=None, prefetch: int = 2
                    ) -> Iterator[Tuple[jax.Array, jax.Array]]:
-    """Yield device-resident (x_batch, y_batch) with simple prefetching."""
+    """Yield device-resident (x_batch, y_batch) with simple prefetching.
+
+    Multi-host (jax.process_count() > 1) with a batch sharding: every
+    process sees the SAME index matrix (seeded identically), but each one
+    materializes and uploads only ITS host-local rows of every global
+    batch — the yielded arrays are globally-sharded jax.Arrays assembled
+    via make_array_from_process_local_data, so the same fit() loop is
+    multi-host-correct with no caller change (SURVEY §5.8 DCN path).
+    """
+    if sharding is not None and jax.process_count() > 1:
+        yield from _multihost_batches(x, y, index_matrix, sharding, prefetch)
+        return
+
     def put(idx):
         bx, by = x[idx], y[idx]
         if sharding is not None:
@@ -46,6 +58,42 @@ def device_batches(x: np.ndarray, y: np.ndarray, index_matrix: np.ndarray,
 
     queue = []
     for i in range(index_matrix.shape[0]):
+        queue.append(put(index_matrix[i]))
+        if len(queue) > prefetch:
+            yield queue.pop(0)
+    while queue:
+        yield queue.pop(0)
+
+
+def _local_rows(sharding, global_shape: Tuple[int, ...]) -> Tuple[int, int]:
+    """This process's contiguous [lo, hi) row range of a batch sharded on
+    axis 0. Raises if the sharding's addressable portion is not contiguous
+    (it is for NamedSharding over a 'data' axis in process order)."""
+    global_rows = global_shape[0]
+    idx_map = sharding.addressable_devices_indices_map(global_shape)
+    spans = sorted((sl[0].start or 0,
+                    global_rows if sl[0].stop is None else sl[0].stop)
+                   for sl in idx_map.values())
+    lo, hi = spans[0][0], spans[-1][1]
+    covered = sum(b - a for a, b in spans)
+    if covered != hi - lo:
+        raise ValueError(f"non-contiguous host shard: {spans}")
+    return lo, hi
+
+
+def _multihost_batches(x, y, index_matrix, sharding, prefetch):
+    nb, gbs = index_matrix.shape
+    gx = (gbs,) + x.shape[1:]
+    gy = (gbs,) + y.shape[1:]
+    lo, hi = _local_rows(sharding, gx)
+
+    def put(idx):
+        local = idx[lo:hi]
+        return (jax.make_array_from_process_local_data(sharding, x[local], gx),
+                jax.make_array_from_process_local_data(sharding, y[local], gy))
+
+    queue = []
+    for i in range(nb):
         queue.append(put(index_matrix[i]))
         if len(queue) > prefetch:
             yield queue.pop(0)

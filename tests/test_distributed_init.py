@@ -74,3 +74,66 @@ def test_two_process_distributed_init():
         outs.append(out)
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"RANK{rank}_OK" in out, out
+
+
+_WORKER_PIPELINE = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.parallel.mesh import (batch_sharding,
+                                                   create_mesh,
+                                                   initialize_distributed)
+    from multi_modal_csi_tpu.data.pipeline import device_batches
+
+    initialize_distributed(coordinator_address={coord!r}, num_processes=2,
+                           process_id=int(os.environ["RANK"]))
+    mesh = create_mesh({{"data": len(jax.devices())}})
+    sharding = batch_sharding(mesh, ndim=3)
+
+    # identical dataset + index matrix on both ranks (seeded)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(32, 6, 4)).astype(np.float32)
+    y = rng.normal(size=(32, 5)).astype(np.float32)
+    idx = rng.permutation(32).reshape(2, 16)
+
+    mean_fn = jax.jit(lambda bx, by: (jnp.mean(bx), jnp.mean(by)))
+    got = []
+    for bx, by in device_batches(x, y, idx, sharding=batch_sharding(mesh, 3)):
+        assert bx.shape == (16, 6, 4) and by.shape[0] == 16, (bx.shape,)
+        mx, my = mean_fn(bx, by)
+        got.append((float(mx), float(my)))
+    want = [(float(x[i].mean()), float(y[i].mean())) for i in idx]
+    for (gm, gy), (wm, wy) in zip(got, want):
+        assert abs(gm - wm) < 1e-6 and abs(gy - wy) < 1e-6, (gm, wm, gy, wy)
+    print(f"RANK{{os.environ['RANK']}}_PIPE_OK", flush=True)
+""")
+
+
+def test_two_process_sharded_input_pipeline():
+    """device_batches on 2 hosts: each process uploads only its host-local
+    rows; the assembled global array computes the same statistics as the
+    full batch (the multi-host DCN input path, SURVEY §5.8)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    script = _WORKER_PIPELINE.format(repo=repo, coord=coord)
+    env_base = {k: v for k, v in os.environ.items()
+                if not k.startswith(("JAX_", "XLA_"))}
+    env_base["JAX_PLATFORMS"] = "cpu"
+    procs = []
+    for rank in range(2):
+        env = dict(env_base, RANK=str(rank))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"rank {rank} timed out")
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"RANK{rank}_PIPE_OK" in out, out
