@@ -107,6 +107,8 @@ class MeshConfig:
     execution model: data/fsdp/model named axes over ICI."""
     data: int = -1   # -1: all remaining devices
     model: int = 1   # tensor-parallel degree (attention heads / FFN shards)
+    fsdp: bool = False  # ZeRO-3-style param + optimizer-state sharding over
+                        # the data axis (parallel/partition.py::fsdp_spec)
 
     def resolved(self, n_devices: int) -> Dict[str, int]:
         model = max(1, self.model)

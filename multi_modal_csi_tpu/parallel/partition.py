@@ -18,9 +18,10 @@ import re
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
 
 # (path regex, spec) — first match wins; default replicated.
 DEFAULT_TP_RULES: List[Tuple[str, P]] = [
@@ -88,3 +89,39 @@ def sharding_tree(params: Any, mesh: Mesh,
     specs = partition_specs(params, mesh, rules)
     return jax.tree_util.tree_map(lambda spec: NamedSharding(mesh, spec), specs,
                                   is_leaf=lambda x: isinstance(x, P))
+
+
+# --------------------------------------------------------------------- #
+# FSDP (ZeRO-3-style) parameter sharding over the data axis
+# --------------------------------------------------------------------- #
+
+FSDP_MIN_SIZE = 16384    # leaves below this stay replicated (all-gather
+                         # latency would dominate their memory saving)
+
+
+def fsdp_spec(shape: Tuple[int, ...], mesh: Mesh,
+              axis: str = DATA_AXIS, min_size: int = FSDP_MIN_SIZE) -> P:
+    """Shard the LARGEST divisible dim of a leaf over `axis`; small or
+    indivisible leaves replicate. Applied uniformly to params AND optimizer
+    moments (the rule depends only on the leaf shape, so optax's mu/nu
+    pick up the same spec as their params)."""
+    n = mesh.shape[axis]
+    if n <= 1 or not shape or int(np.prod(shape)) < min_size:
+        return P()
+    cands = [(size, dim) for dim, size in enumerate(shape) if size % n == 0]
+    if not cands:
+        return P()
+    _, dim = max(cands)
+    spec = [None] * len(shape)
+    spec[dim] = axis
+    return P(*spec)
+
+
+def fsdp_sharding_tree(tree: Any, mesh: Mesh, axis: str = DATA_AXIS,
+                       min_size: int = FSDP_MIN_SIZE) -> Any:
+    """NamedSharding pytree for FSDP placement of any state tree."""
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(
+            mesh, fsdp_spec(getattr(leaf, "shape", ()), mesh, axis,
+                            min_size)),
+        tree)

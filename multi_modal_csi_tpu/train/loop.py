@@ -100,7 +100,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
 def aot_train_step(model, tx: optax.GradientTransformation,
                    loss_fn: Callable, params, batch_stats, opt_state,
                    batch_shapes, rng_example, *, augment: bool = True,
-                   sharding=None):
+                   sharding=None, fsdp: bool = False):
     """AOT-compile the train step with AUTO layouts; ONE compile total.
 
     The plain jitted step compiles up to THREE times on TPU: the first call
@@ -121,27 +121,61 @@ def aot_train_step(model, tx: optax.GradientTransformation,
 
     step = _train_step_body(model, tx, loss_fn, augment=augment)
     auto = Format(Layout.AUTO)
-    jitted = jax.jit(step, donate_argnums=(0, 1, 2),
-                     in_shardings=auto, out_shardings=auto)
     bx_s, by_s = batch_shapes
 
-    state_sharding = None
+    from jax.sharding import NamedSharding, PartitionSpec
+    state_shd = None
     if sharding is not None:
-        # data-parallel: batches carry `sharding`; state is replicated
-        from jax.sharding import NamedSharding, PartitionSpec
-        state_sharding = NamedSharding(sharding.mesh, PartitionSpec())
+        mesh = sharding.mesh
+        if fsdp:
+            # ZeRO-3-style: params AND optimizer moments sharded over the
+            # data axis (partition.fsdp_spec picks the largest divisible
+            # dim per leaf); XLA inserts the all-gathers/reduce-scatters.
+            from ..parallel.partition import fsdp_spec
+            state_shd = lambda x: NamedSharding(  # noqa: E731
+                mesh, fsdp_spec(getattr(x, "shape", ()), mesh))
+        else:
+            # plain data-parallel: state replicated
+            rep = NamedSharding(mesh, PartitionSpec())
+            state_shd = lambda x: rep  # noqa: E731
 
-    def aval(x, shd=state_sharding):
+    out_shardings = auto
+    if fsdp and state_shd is not None:
+        # pin the donated state OUTPUTS to the input shardings — with a
+        # free AUTO output GSPMD re-shards small (replicated) leaves and
+        # the donation loop then feeds back mismatched arrays
+        fmt = lambda x: Format(Layout.AUTO, state_shd(x))  # noqa: E731
+        out_shardings = (jax.tree_util.tree_map(fmt, params),
+                         jax.tree_util.tree_map(fmt, batch_stats),
+                         jax.tree_util.tree_map(fmt, opt_state),
+                         auto, auto)
+    jitted = jax.jit(step, donate_argnums=(0, 1, 2),
+                     in_shardings=auto, out_shardings=out_shardings)
+
+    def aval(x, shd=None):
         if shd is not None:
             return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=shd)
+        if state_shd is not None:
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=state_shd(x))
         return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    def batch_aval(x):
+        return (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+                if sharding is not None
+                else jax.ShapeDtypeStruct(x.shape, x.dtype))
 
     compiled = jitted.lower(
         jax.tree_util.tree_map(aval, params),
         jax.tree_util.tree_map(aval, batch_stats),
         jax.tree_util.tree_map(aval, opt_state),
-        aval(bx_s, sharding), aval(by_s, sharding),
-        aval(rng_example)).compile()
+        batch_aval(bx_s), batch_aval(by_s),
+        (jax.ShapeDtypeStruct(rng_example.shape, rng_example.dtype,
+                              sharding=NamedSharding(sharding.mesh,
+                                                     PartitionSpec()))
+         if sharding is not None else
+         jax.ShapeDtypeStruct(rng_example.shape, rng_example.dtype))
+        ).compile()
     fmts, _ = compiled.input_formats
     state = (jax.device_put(params, fmts[0]),
              jax.device_put(batch_stats, fmts[1]),
@@ -213,6 +247,7 @@ def fit(model,
         batch_axis: int = 0,
         augment: bool = True,
         sharding=None,
+        fsdp: bool = False,
         writer: Optional[MetricWriter] = None,
         init_variables: Optional[Tuple[Any, Any]] = None,
         tx: Optional[optax.GradientTransformation] = None,
@@ -291,7 +326,7 @@ def fit(model,
         step_fn, (params, batch_stats, opt_state), put_batch, put_rng = \
             aot_train_step(model, tx, loss_fn, params, batch_stats, opt_state,
                            (bx_s, by_s), probe, augment=augment,
-                           sharding=sharding)
+                           sharding=sharding, fsdp=fsdp)
     except Exception as e:
         import warnings
         warnings.warn(f"AOT train-step lowering failed ({e!r}); falling back "
