@@ -1,8 +1,9 @@
-"""Export a CSI model's serving forward as a StableHLO artifact.
+"""Export a CSI or VIDEO model's serving forward as a StableHLO artifact.
 
 Usage:
   python -m multi_modal_csi_tpu.cli.export_model --model DETR --task activity \
       --batch 256 --out detr_serving.mmcsi [--pretrained PATH] [--dtype auto]
+  python -m multi_modal_csi_tpu.cli.export_model --model S3D --out s3d.mmcsi
 
 The artifact is self-contained (weights baked in, TPU+CPU lowerings) and is
 reloaded with core.export.serve_file — no model code needed at serving time.
@@ -42,6 +43,15 @@ def infer_out_dim(model_key: str, task: str) -> int:
     return flat
 
 
+# video serving input geometry: 90-frame WiMANS clips at stride 2, with the
+# torchvision backbone resolutions (data/video_io.py transform table)
+_VIDEO_SHAPES = {
+    "ResNet": (45, 112, 112), "S3D": (45, 224, 224),
+    "Swin-T": (45, 224, 224), "Swin-S": (45, 224, 224),
+    "MViT-v1": (45, 224, 224), "MViT-v2": (45, 224, 224),
+}
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True)
@@ -59,23 +69,37 @@ def main() -> None:
                         "and first-layer HBM traffic; caller quantizes)")
     p.add_argument("--platforms", default="tpu,cpu")
     p.add_argument("--seed", type=int, default=39)
+    p.add_argument("--clip-shape", default=None,
+                   help="video only: T,H,W override of the serving clip "
+                        "geometry (default: the model's full-res config)")
     args = p.parse_args()
 
     from ..core.export import export_serving, save_artifact
     from ..runners.csi import CSI_MODELS
+    from ..runners.video import VIDEO_MODELS
 
-    if args.model not in CSI_MODELS:
-        raise SystemExit(f"unknown model {args.model}; "
-                         f"choices: {sorted(CSI_MODELS)}")
+    if args.model not in CSI_MODELS and args.model not in VIDEO_MODELS:
+        raise SystemExit(f"unknown model {args.model}; choices: "
+                         f"{sorted(CSI_MODELS) + sorted(VIDEO_MODELS)}")
     cfg = load_config(None, {"model": args.model, "task": args.task})
     args.batch = resolve_serving_batch(args.model,
                                        args.batch if args.batch > 0 else None)
-    spec = CSI_MODELS[args.model]
-    out_dim = infer_out_dim(args.model, args.task)
 
-    shape = (args.batch, cfg.data.length * 270) if spec.input_layout == "flat" \
-        else (args.batch, cfg.data.length, 270)
-    model = spec.build(shape[1:], out_dim, cfg)
+    if args.model in VIDEO_MODELS:
+        # video: (B, T, H, W, 3) channels-last clips, flat per-user labels
+        _, flat, _ = _TASK_DIMS[args.task]
+        out_dim = flat
+        t, h, w = (tuple(int(v) for v in args.clip_shape.split(","))
+                   if args.clip_shape else _VIDEO_SHAPES[args.model])
+        shape = (args.batch, t, h, w, 3)
+        model = VIDEO_MODELS[args.model](out_dim)
+    else:
+        spec = CSI_MODELS[args.model]
+        out_dim = infer_out_dim(args.model, args.task)
+        shape = (args.batch, cfg.data.length * 270) \
+            if spec.input_layout == "flat" \
+            else (args.batch, cfg.data.length, 270)
+        model = spec.build(shape[1:], out_dim, cfg)
     example = jax.ShapeDtypeStruct(shape, np.float32)
 
     variables = model.init({"params": jax.random.PRNGKey(args.seed)},

@@ -177,3 +177,22 @@ def test_export_cli_detr(tmp_path):
     # DETR serving output: (L, B, Q, 10) per-layer class logits
     assert np.asarray(out_arr).shape[1:] == (2, 5, 10)
     assert np.all(np.isfinite(np.asarray(out_arr)))
+
+
+def test_export_cli_video_resnet3d(tmp_path):
+    """The CLI exports a VIDEO artifact (ResNet3D-18) that serves on CPU."""
+    out = str(tmp_path / "r3d.mmcsi")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['x','--model','ResNet','--batch','1',"
+        f"'--out',{out!r},'--dtype','float32','--platforms','cpu',"
+        "'--clip-shape','8,64,64'];"
+        "from multi_modal_csi_tpu.cli.export_model import main; main()"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    fn, meta = serve_file(out)
+    assert meta["model"] == "ResNet" and meta["input_shape"] == [1, 8, 64, 64, 3]
+    out_arr = np.asarray(fn(jnp.zeros((1, 8, 64, 64, 3), jnp.float32)))
+    assert out_arr.shape == (1, 54) and np.all(np.isfinite(out_arr))
