@@ -172,3 +172,25 @@ def test_fit_checkpoint_resume_sharded(tmp_path):
     # the resumed run continues improving from the restored state, not from
     # scratch: its first-epoch loss must not regress to res1's first-epoch
     assert res2.history[0]["train_loss"] < res1.history[0]["train_loss"]
+
+
+def test_fit_checkpoint_resume_fsdp(tmp_path):
+    """Preemption resume composes with FSDP: the restored host state is
+    device_put back into the compiled (sharded) input formats and training
+    continues from the checkpointed epoch."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    x, y = _synthetic_baseline(n=64, f=256)
+    model = MLP(out_features=y.shape[-1])
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    kwargs = dict(loss_fn=lambda o, t: bce_with_logits(o, t, 4.0),
+                  mode="baseline", lr=1e-3, batch_size=16, seed=39,
+                  augment=False, patience=100, sharding=sharding, fsdp=True,
+                  checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2)
+    res1 = fit(model, x, y, x, y, epochs=4, **kwargs)
+    assert res1.epochs_ran == 4
+    res2 = fit(model, x, y, x, y, epochs=6, **kwargs)
+    assert res2.epochs_ran == 2
+    assert res2.history[0]["train_loss"] < res1.history[0]["train_loss"]
