@@ -71,9 +71,11 @@ def _local_rows(sharding, global_shape: Tuple[int, ...]) -> Tuple[int, int]:
     (it is for NamedSharding over a 'data' axis in process order)."""
     global_rows = global_shape[0]
     idx_map = sharding.addressable_devices_indices_map(global_shape)
-    spans = sorted((sl[0].start or 0,
-                    global_rows if sl[0].stop is None else sl[0].stop)
-                   for sl in idx_map.values())
+    # dedupe: devices on a replicated mesh axis (e.g. 'model' under DP+TP)
+    # share the same row span — counting them twice would fail contiguity
+    spans = sorted({(sl[0].start or 0,
+                     global_rows if sl[0].stop is None else sl[0].stop)
+                    for sl in idx_map.values()})
     lo, hi = spans[0][0], spans[-1][1]
     covered = sum(b - a for a, b in spans)
     if covered != hi - lo:

@@ -114,3 +114,14 @@ def test_fsdp_fit_matches_unsharded():
     assert spec == P("data", None) or spec == P(None, "data")
     small = fsdp_spec((16,), mesh)
     assert small == P()
+
+
+def test_local_rows_dedupes_replicated_axis():
+    """_local_rows must not double-count devices that REPLICATE a row span
+    (the 'model' axis under DP+TP): all 8 single-host devices cover [0, 16)
+    with each span shared by two model-axis devices."""
+    from multi_modal_csi_tpu.data.pipeline import _local_rows
+    mesh = create_mesh({"data": 4, "model": 2})
+    sharding = batch_sharding(mesh, 2)
+    lo, hi = _local_rows(sharding, (16, 4))
+    assert (lo, hi) == (0, 16)
