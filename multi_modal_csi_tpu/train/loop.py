@@ -124,6 +124,9 @@ def aot_train_step(model, tx: optax.GradientTransformation,
     bx_s, by_s = batch_shapes
 
     from jax.sharding import NamedSharding, PartitionSpec
+    if fsdp and sharding is None:
+        raise ValueError("fsdp=True requires a batch `sharding` (the mesh "
+                         "whose 'data' axis the state shards over)")
     state_shd = None
     if sharding is not None:
         mesh = sharding.mesh
