@@ -27,11 +27,18 @@ def parse_args():
                    metavar="KEY=VALUE", help="dotted-path override")
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over the device mesh (data parallel)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() with "
+                        "cloud auto-detection BEFORE backend init "
+                        "(parallel/mesh.py::initialize_distributed)")
     return p.parse_args()
 
 
 def main() -> None:
     args = parse_args()
+    if args.distributed:
+        from ..parallel.mesh import initialize_distributed
+        initialize_distributed()    # env/metadata auto-detection
     overrides = {}
     for kv in args.set:
         key, _, value = kv.partition("=")

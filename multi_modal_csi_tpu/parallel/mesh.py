@@ -27,8 +27,18 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None) -> None:
     """Multi-host initialization (jax.distributed) — the TPU-native
     equivalent of the communication backend the reference never activates
-    (SURVEY.md §5.8). No-op on a single host or when already initialized."""
-    if num_processes in (None, 1):
+    (SURVEY.md §5.8). With NO arguments, defers to jax's cloud environment
+    auto-detection (GKE JobSet / TPU-VM metadata — jobs/
+    tpu-multihost-jobset.yaml); num_processes=1 is an explicit no-op.
+    Idempotent."""
+    if num_processes == 1:
+        return
+    if coordinator_address is None and num_processes is None \
+            and process_id is None:
+        try:
+            jax.distributed.initialize()      # cloud auto-detection
+        except (RuntimeError, ValueError):
+            pass  # already initialized, or single-process environment
         return
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
