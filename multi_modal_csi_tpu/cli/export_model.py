@@ -67,6 +67,13 @@ def main() -> None:
     p.add_argument("--input-dtype", default="float32",
                    help="dtype the artifact accepts (bfloat16 halves H2D "
                         "and first-layer HBM traffic; caller quantizes)")
+    p.add_argument("--quant", default=None, choices=["w8", "w8a8"],
+                   help="int8 post-training quantization of the hooked "
+                        "matmul/conv kernels (core/quantize.py). w8a8 "
+                        "additionally needs --calib NPY of input batches")
+    p.add_argument("--calib", default=None,
+                   help="path to a .npy of calibration inputs (N, *input) "
+                        "for --quant w8a8; split into batches of --batch")
     p.add_argument("--platforms", default="tpu,cpu")
     p.add_argument("--seed", type=int, default=39)
     p.add_argument("--clip-shape", default=None,
@@ -114,13 +121,19 @@ def main() -> None:
                                           if batch_stats else {})}
 
     dtype = resolve_serving_dtype(args.dtype, args.model)
+    calib_x = None
+    if args.calib:
+        rows = np.load(args.calib)
+        calib_x = [rows[i:i + args.batch]
+                   for i in range(0, len(rows), args.batch)]
     blob = export_serving(model, variables, example, serving_dtype=dtype,
                           input_dtype=args.input_dtype,
+                          quant=args.quant, calib_x=calib_x,
                           platforms=args.platforms.split(","))
     save_artifact(args.out, blob, {
         "model": args.model, "task": args.task, "batch": args.batch,
         "input_shape": list(shape), "serving_dtype": dtype,
-        "input_dtype": args.input_dtype,
+        "input_dtype": args.input_dtype, "quant": args.quant,
         "platforms": args.platforms.split(","),
         "pretrained": bool(args.pretrained),
     })

@@ -39,6 +39,8 @@ def export_serving(model, variables: Any, example_x,
                    *,
                    serving_dtype: Optional[str] = None,
                    input_dtype: Optional[str] = None,
+                   quant: Optional[str] = None,
+                   calib_x: Optional[Sequence] = None,
                    platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
     """Export `model.apply(variables, x, train=False)` as a serving artifact.
 
@@ -49,6 +51,11 @@ def export_serving(model, variables: Any, example_x,
     first-layer HBM read — the dominant cost for input-bandwidth-bound
     models (MLP reads 3.24 MB/window of f32 input; BASELINE.md) — at the
     cost of the caller quantizing on the host.
+    quant: None | "w8" | "w8a8" — int8 post-training quantization
+    (core/quantize.py; applied AFTER the serving-dtype cast so the rescale
+    leaves stay f32). "w8a8" needs real `calib_x` batches to calibrate the
+    activation scales; "w8" only discovers the hooked layers, so a zero
+    batch suffices and calib_x may be omitted.
     Returns the serialized bytes (see save_artifact/load_serving).
     """
     from jax import export as jax_export
@@ -59,6 +66,15 @@ def export_serving(model, variables: Any, example_x,
         variables = cast_for_serving(variables, dtype)
     else:
         dtype = None
+
+    if quant:
+        from .quantize import quantize_for_serving
+        if calib_x is None:
+            if quant != "w8":
+                raise ValueError("w8a8 export needs calib_x batches")
+            calib_x = [np.zeros(np.shape(example_x), np.float32)]
+        variables = quantize_for_serving(model, variables, calib_x,
+                                         mode=quant, train=False)
 
     def forward(x):
         if dtype is not None:

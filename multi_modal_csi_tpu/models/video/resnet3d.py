@@ -19,11 +19,15 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...nn.layers import BatchNorm, Linear
+from ...nn.layers import BatchNorm, Linear, _ConvCore
 from ...nn.init import torch_linear_weight
 
 
 class Conv3D(nn.Module):
+    """All ResNet3D and S3D convolutions flow through this one wrapper;
+    using the shared _ConvCore (bit-identical to flax nn.Conv on the float
+    path) makes both conv backbones int8-serving-hookable
+    (core/quantize.py) with unchanged param trees/converters."""
     features: int
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int] = (1, 1, 1)
@@ -33,11 +37,13 @@ class Conv3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = [(p, p) for p in self.padding]
-        return nn.Conv(self.features, self.kernel, strides=self.stride,
-                       padding=pad, use_bias=self.use_bias,
-                       kernel_init=nn.initializers.variance_scaling(
-                           2.0, "fan_out", "truncated_normal"),
-                       name="conv")(x)
+        return _ConvCore(self.features, self.kernel, strides=self.stride,
+                         padding=pad, kernel_dilation=(1, 1, 1),
+                         feature_group_count=1, use_bias=self.use_bias,
+                         kernel_init=nn.initializers.variance_scaling(
+                             2.0, "fan_out", "truncated_normal"),
+                         bias_init=nn.initializers.zeros,
+                         name="conv")(x)
 
 
 class BasicBlock3D(nn.Module):

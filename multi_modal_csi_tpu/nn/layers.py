@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .init import torch_bias, torch_linear_weight, uniform_scale, xavier_uniform
+from ..core import quantize as _quant
 from ..kernels.flash_attention import _on_tpu, flash_resolved
 
 
@@ -26,6 +27,10 @@ class Linear(nn.Module):
 
     Equivalent of torch.nn.Linear; the reference xavier-initializes weights in
     most models (model/mlp.py:45-47) but keeps the torch-default bias.
+
+    int8-serving hook (core/quantize.py): an int8 ``kernel`` leaf routes the
+    matmul through the quantized path; otherwise the layer announces itself
+    to calibration (a no-op outside calibration traces).
     """
     features: int
     use_bias: bool = True
@@ -37,13 +42,74 @@ class Linear(nn.Module):
         in_features = x.shape[-1]
         w_init = xavier_uniform() if self.xavier else torch_linear_weight()
         kernel = self.param("kernel", w_init, (in_features, self.features))
-        y = jnp.dot(x.astype(self.dtype or x.dtype),
-                    kernel.astype(self.dtype or kernel.dtype),
-                    preferred_element_type=jnp.float32)
+        if kernel.dtype == jnp.int8:
+            y = _quant.dense_forward(self, x, kernel)
+        else:
+            _quant.maybe_sow_amax(self, x)
+            y = jnp.dot(x.astype(self.dtype or x.dtype),
+                        kernel.astype(self.dtype or kernel.dtype),
+                        preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", torch_bias(in_features), (self.features,))
             y = y + bias
         return y.astype(x.dtype)
+
+
+class _ConvCore(nn.Module):
+    """Drop-in core for the Conv1d/Conv2d wrappers, replacing flax nn.Conv
+    with IDENTICAL param layout (name "conv", ``kernel`` (*window, in/g, out)
+    + ``bias`` (out,)), identical init RNG paths, and identical float math
+    (promote to ``dtype``, lax.conv_general_dilated without
+    preferred_element_type) — verified bit-exact against nn.Conv by
+    tests/test_quantize.py. Exists so the int8-serving hook
+    (core/quantize.py) can branch on the kernel dtype, which nn.Conv cannot:
+    its promote_dtype would silently dequantize an int8 kernel WITHOUT the
+    scale.
+    """
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: object
+    kernel_dilation: Tuple[int, ...]
+    feature_group_count: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kshape = self.kernel_size + (
+            in_features // self.feature_group_count, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32)
+                if self.use_bias else None)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * len(self.kernel_size)
+        spec = "DHW"[3 - len(self.kernel_size):]
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kshape, (f"N{spec}C", f"{spec}IO", f"N{spec}C"))
+        if kernel.dtype == jnp.int8:
+            y = _quant.conv_forward(
+                self, x, kernel, window_strides=self.strides, padding=pad,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                feature_group_count=self.feature_group_count)
+            if bias is not None:
+                y = y + bias
+            return y.astype(x.dtype)
+        _quant.maybe_sow_amax(self, x)
+        from flax.linen.dtypes import promote_dtype
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=self.strides, padding=pad,
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+            feature_group_count=self.feature_group_count)
+        if bias is not None:
+            y = y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+        return y
 
 
 class Conv1d(nn.Module):
@@ -69,7 +135,7 @@ class Conv1d(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)]
-        y = nn.Conv(
+        return _ConvCore(
             features=self.features,
             kernel_size=(self.kernel_size,),
             strides=(self.stride,),
@@ -82,7 +148,6 @@ class Conv1d(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        return y
 
 
 class Conv2d(nn.Module):
@@ -100,11 +165,13 @@ class Conv2d(nn.Module):
         in_features = x.shape[-1]
         fan_in = in_features * self.kernel_size[0] * self.kernel_size[1]
         w_init = xavier_uniform() if self.xavier else torch_linear_weight()
-        return nn.Conv(
+        return _ConvCore(
             features=self.features,
             kernel_size=self.kernel_size,
             strides=self.stride,
             padding=self.padding,
+            kernel_dilation=(1,) * len(self.kernel_size),
+            feature_group_count=1,
             use_bias=self.use_bias,
             kernel_init=w_init,
             bias_init=torch_bias(fan_in),

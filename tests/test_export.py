@@ -196,3 +196,33 @@ def test_export_cli_video_resnet3d(tmp_path):
     assert meta["model"] == "ResNet" and meta["input_shape"] == [1, 8, 64, 64, 3]
     out_arr = np.asarray(fn(jnp.zeros((1, 8, 64, 64, 3), jnp.float32)))
     assert out_arr.shape == (1, 54) and np.all(np.isfinite(out_arr))
+
+
+def test_export_quantized_w8():
+    """int8 weight-only export: artifact runs with no model code and stays
+    close to the f32 forward (MLP hidden layers go int8; head stays f32)."""
+    from multi_modal_csi_tpu.models.csi.mlp import MLP
+    model = MLP(out_features=6)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 1200)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+    blob = export_serving(model, variables, x, quant="w8",
+                          platforms=("cpu",))
+    out = np.asarray(load_serving(blob)(jnp.asarray(x)))
+    ref = np.asarray(jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(variables,
+                                                       jnp.asarray(x)))
+    rel = np.max(np.abs(out - ref)) / (np.std(ref) + 1e-9)
+    assert rel < 0.25, rel
+
+
+def test_export_quantized_w8a8_requires_calib():
+    import pytest
+    model, variables, x = _tiny_model_and_vars()
+    with pytest.raises(ValueError):
+        export_serving(model, variables, x, quant="w8a8", platforms=("cpu",))
+    blob = export_serving(model, variables, x, quant="w8a8", calib_x=[x],
+                          platforms=("cpu",))
+    out = np.asarray(load_serving(blob)(jnp.asarray(x)))
+    assert out.shape == (4, 6) and np.isfinite(out).all()

@@ -1,0 +1,207 @@
+"""int8 post-training quantization (core/quantize.py).
+
+The reference has no quantization — this is a TPU-native serving extension
+(see BASELINE.md int8 section for the measured MXU/bandwidth motivation).
+Covered here: the array-level quantizer, the _ConvCore swap-in's exactness
+against flax nn.Conv (the float path must be bit-identical — every model
+parity test in this suite flows through it), discovery-based hooking (only
+layers that announce themselves can be quantized; unknown kernels can never
+be silently corrupted), and end-to-end closeness on real CSI models.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+import pytest
+
+from multi_modal_csi_tpu.core import quantize as qz
+from multi_modal_csi_tpu.models import csi as M
+from multi_modal_csi_tpu.nn.init import torch_bias, xavier_uniform
+from multi_modal_csi_tpu.nn.layers import Conv1d, Conv2d, Linear
+
+
+def _paths(tree):
+    return {
+        "/".join(qz._dict_path(kp)): leaf
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def test_quantize_array_roundtrip_error_bound():
+    w = np.array(jax.random.normal(jax.random.PRNGKey(0), (64, 32)))
+    w[:, 3] *= 100.0   # per-channel scales must absorb a hot column
+    q, scale = qz.quantize_array(jnp.asarray(w))
+    assert q.dtype == jnp.int8 and scale.shape == (32,)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)
+    # symmetric rounding: per-element error <= scale/2 of that channel
+    assert np.all(np.abs(deq - w) <= np.asarray(scale) / 2 + 1e-7)
+    # int8 full range is actually used
+    assert np.max(np.abs(np.asarray(q))) == 127
+
+
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_conv_core_bit_exact_vs_nn_conv(dtype):
+    """The nn.Conv -> _ConvCore swap must not move ANY float bit: same param
+    tree (same init RNG paths), same forward, 1D and 2D, f32 and bf16."""
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (4, 50, 16))
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (2, 30, 20, 3))
+
+    class Ref1(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(8, (5,), strides=(2,), padding=[(2, 2)],
+                           kernel_dilation=(3,), kernel_init=xavier_uniform(),
+                           bias_init=torch_bias(16 * 5), dtype=dtype,
+                           name="conv")(x)
+
+    class Ref2(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(8, (7, 7), strides=(3, 3), padding="VALID",
+                           kernel_init=xavier_uniform(),
+                           bias_init=torch_bias(3 * 49), dtype=dtype,
+                           name="conv")(x)
+
+    for ref, ours, x in [
+        (Ref1(), Conv1d(8, 5, stride=2, padding=2, dilation=3, dtype=dtype), x1),
+        (Ref2(), Conv2d(8, (7, 7), stride=(3, 3), dtype=dtype), x2),
+    ]:
+        p_ref, p_our = ref.init(jax.random.PRNGKey(0), x), None
+        p_our = ours.init(jax.random.PRNGKey(0), x)
+        ra, rb = _paths(p_ref), _paths(p_our)
+        assert ra.keys() == rb.keys()
+        for k in ra:
+            assert np.array_equal(np.asarray(ra[k]), np.asarray(rb[k])), k
+        ya = np.asarray(ref.apply(p_ref, x))
+        yb = np.asarray(ours.apply(p_our, x))
+        assert np.array_equal(ya, yb)
+
+
+def test_w8_linear_matches_manual_dequant():
+    """w8 semantics pinned: y == (x_bf16 @ q_bf16) * scale + bias exactly
+    (same ops, same order)."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 96))
+    lin = Linear(64)
+    v = lin.init(jax.random.PRNGKey(0), x)
+    qv = qz.quantize_for_serving(lin, v, [x], mode="w8", min_size=1)
+    p = _paths(qv["params"])
+    assert p["kernel"].dtype == jnp.int8
+    y = lin.apply(qv, x)
+    manual = (jnp.dot(x.astype(jnp.bfloat16),
+                      p["kernel"].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+              * p["kernel_scale"] + p["bias"]).astype(x.dtype)
+    assert np.array_equal(np.asarray(y), np.asarray(manual))
+
+
+def test_discovery_excludes_unhooked_and_small_kernels():
+    """Three kernels: a hooked big Linear (quantized), a raw nn.Dense of the
+    same shape (NOT hooked -> must stay float even though its leaf is named
+    'kernel'), and a small head (hooked but below min_size -> stays float)."""
+    class Mixed(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            a = Linear(64, name="hooked")(x)
+            b = nn.Dense(64, name="raw")(x)
+            return Linear(4, name="head")(a + b)
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 128))
+    m = Mixed()
+    v = m.init(jax.random.PRNGKey(0), x)
+    qv = qz.quantize_for_serving(m, v, [x], mode="w8", min_size=4096)
+    p = _paths(qv["params"])
+    assert p["hooked/kernel"].dtype == jnp.int8
+    assert "hooked/kernel_scale" in p
+    assert p["raw/kernel"].dtype == jnp.float32
+    assert "raw/kernel_scale" not in p
+    assert p["head/kernel"].dtype == jnp.float32
+    # quantized tree still applies (raw + head take the float path)
+    np.asarray(m.apply(qv, x))
+
+
+def test_normal_apply_does_not_sow():
+    """The calibration sow must be dead on ordinary mutable traces
+    (mutable=['batch_stats'] like every train step) and at init."""
+    x = jnp.ones((2, 40, 8))
+    m = Conv1d(16, 3)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert qz.STATS_COL not in v
+    _, mut = m.apply(v, x, mutable=["batch_stats"])
+    assert qz.STATS_COL not in mut
+
+
+@pytest.mark.parametrize("mode", ["w8", "w8a8"])
+def test_mlp_quantized_close(mode):
+    """End-to-end on the real MLP (BatchNorm -> 256 -> 128 -> head): the
+    quantized logits stay within a few percent of f32 — loose by design,
+    int8 is an approximation; accuracy-parity claims come from the f32 path."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (16, 1200))
+    m = M.MLP(out_features=54)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    y32 = np.asarray(m.apply(v, x, train=False))
+    qv = qz.quantize_for_serving(m, v, [x], mode=mode, min_size=4096,
+                                 train=False)
+    p = _paths(qv["params"])
+    n_int8 = sum(1 for k, l in p.items()
+                 if k.endswith("kernel") and l.dtype == jnp.int8)
+    assert n_int8 >= 2   # the two hidden layers; the 54-wide head is small
+    yq = np.asarray(jax.jit(
+        lambda vv, xx: m.apply(vv, xx, train=False))(qv, x))
+    rel = np.max(np.abs(yq - y32)) / (np.std(y32) + 1e-9)
+    assert rel < 0.25, rel
+
+
+def test_detr_quantized_forward_close():
+    """DETR (the flagship): conv stem + FFN kernels go int8; aux-layer logits
+    stay close to f32 at every decoder layer."""
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 600, 270))
+    m = M.DETRMultiUser(num_decoder_layers=2)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    y32 = np.asarray(m.apply(v, x, train=False))
+    qv = qz.quantize_for_serving(m, v, [x], mode="w8", train=False)
+    p = _paths(qv["params"])
+    int8_keys = [k for k, l in p.items() if l.dtype == jnp.int8]
+    assert any("conv" in k for k in int8_keys), int8_keys
+    yq = np.asarray(m.apply(qv, x, train=False))
+    assert yq.shape == y32.shape
+    rel = np.max(np.abs(yq - y32)) / (np.std(y32) + 1e-9)
+    assert rel < 0.35, rel
+
+
+def test_w8a8_requires_consistent_tree():
+    """input_scale present iff mode == w8a8 (the leaf's presence selects the
+    int8-activation path inside the layers)."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 96))
+    lin = Linear(64)
+    v = lin.init(jax.random.PRNGKey(0), x)
+    q8 = qz.quantize_for_serving(lin, v, [x], mode="w8", min_size=1)
+    qa = qz.quantize_for_serving(lin, v, [x], mode="w8a8", min_size=1)
+    assert "input_scale" not in _paths(q8["params"])
+    assert "input_scale" in _paths(qa["params"])
+    # calibration over several batches takes the max amax
+    big = x * 10.0
+    qa2 = qz.quantize_for_serving(lin, v, [x, big], mode="w8a8", min_size=1)
+    s1 = float(_paths(qa["params"])["input_scale"])
+    s2 = float(_paths(qa2["params"])["input_scale"])
+    assert s2 == pytest.approx(s1 * 10.0, rel=1e-5)
+
+
+def test_resnet3d_quantized_close():
+    """Video conv backbones hook through the shared Conv3D wrapper
+    (models/video/resnet3d.py): ResNet3D-18 w8 stays close to f32."""
+    from multi_modal_csi_tpu.models.video.resnet3d import ResNet3D18
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 32, 32, 3))
+    m = ResNet3D18(out_features=9)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y32 = np.asarray(m.apply(v, x, train=False))
+    qv = qz.quantize_for_serving(m, v, [x], mode="w8", train=False)
+    p = _paths(qv["params"])
+    int8_convs = [k for k, l in p.items()
+                  if l.dtype == jnp.int8 and "conv" in k]
+    assert len(int8_convs) >= 10, int8_convs   # the 3x3x3 block convs
+    yq = np.asarray(m.apply(qv, x, train=False))
+    rel = np.max(np.abs(yq - y32)) / (np.std(y32) + 1e-9)
+    assert rel < 0.35, rel
