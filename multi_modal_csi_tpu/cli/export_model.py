@@ -18,8 +18,8 @@ import argparse
 import jax
 import numpy as np
 
-from ..core.config import (load_config, resolve_serving_batch,
-                           resolve_serving_dtype)
+from ..core.config import (load_config, resolve_quant,
+                           resolve_serving_batch, resolve_serving_dtype)
 
 # task -> (per-user class count, baseline flat out_dim, reduced out_dim)
 _TASK_DIMS = {
@@ -67,10 +67,13 @@ def main() -> None:
     p.add_argument("--input-dtype", default="float32",
                    help="dtype the artifact accepts (bfloat16 halves H2D "
                         "and first-layer HBM traffic; caller quantizes)")
-    p.add_argument("--quant", default=None, choices=["w8", "w8a8"],
+    p.add_argument("--quant", default="none",
+                   choices=["none", "auto", "w8", "w8a8"],
                    help="int8 post-training quantization of the hooked "
-                        "matmul/conv kernels (core/quantize.py). w8a8 "
-                        "additionally needs --calib NPY of input batches")
+                        "matmul/conv kernels (core/quantize.py). auto = "
+                        "the model's measured winner (core.config."
+                        "QUANT_DEFAULTS). w8a8 additionally needs --calib "
+                        "NPY of input batches")
     p.add_argument("--calib", default=None,
                    help="path to a .npy of calibration inputs (N, *input) "
                         "for --quant w8a8; split into batches of --batch")
@@ -121,19 +124,24 @@ def main() -> None:
                                           if batch_stats else {})}
 
     dtype = resolve_serving_dtype(args.dtype, args.model)
+    quant = resolve_quant(args.quant, args.model)
     calib_x = None
     if args.calib:
         rows = np.load(args.calib)
         calib_x = [rows[i:i + args.batch]
                    for i in range(0, len(rows), args.batch)]
+    elif quant == "w8a8":
+        raise SystemExit(f"--quant {args.quant} resolved to w8a8 for "
+                         f"{args.model}: pass --calib with real input "
+                         "batches to calibrate the activation scales")
     blob = export_serving(model, variables, example, serving_dtype=dtype,
                           input_dtype=args.input_dtype,
-                          quant=args.quant, calib_x=calib_x,
+                          quant=quant, calib_x=calib_x,
                           platforms=args.platforms.split(","))
     save_artifact(args.out, blob, {
         "model": args.model, "task": args.task, "batch": args.batch,
         "input_shape": list(shape), "serving_dtype": dtype,
-        "input_dtype": args.input_dtype, "quant": args.quant,
+        "input_dtype": args.input_dtype, "quant": quant,
         "platforms": args.platforms.split(","),
         "pretrained": bool(args.pretrained),
     })

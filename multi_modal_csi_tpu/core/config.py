@@ -274,6 +274,35 @@ def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
     return SERVING_DTYPE_DEFAULTS.get(model_name, _SERVING_DEFAULT_OTHER)
 
 
+# Measured int8-serving winners (tools/exp_quant_serving.py on the real
+# chip, BASELINE.md int8 section): compute-bound transformer models win
+# with full int8 MXU ("w8a8": DETR +13.5%, THAT_ENCODER +15.6%); the
+# weight-readback-bound MLP wins with weight-only ("w8", +12.4% — its
+# activation-quantize pass over the 810k-wide input costs more than int8
+# compute saves); CNN-2D and the measured-flat models default to None so
+# "auto" never trades accuracy for nothing. Video conv backbones are
+# hooked but unmeasured -> None until a measured row exists.
+QUANT_DEFAULTS: Dict[str, Optional[str]] = {
+    "DETR": "w8a8",
+    "THAT_ENCODER": "w8a8",
+    "THAT": "w8",
+    "MLP": "w8",
+}
+
+
+def resolve_quant(quant: Optional[str], model_name: str) -> Optional[str]:
+    """Map --quant x model -> concrete mode (None | "w8" | "w8a8").
+
+    "auto" consults the measured table; unknown models stay unquantized.
+    "none" (or None) disables; explicit "w8"/"w8a8" always win.
+    """
+    if quant == "auto":
+        return QUANT_DEFAULTS.get(model_name)
+    if quant in (None, "none"):
+        return None
+    return quant
+
+
 # Measured serving batch-size knees (chained-marginal sweeps, BASELINE.md):
 # throughput rises with batch until the knee, then flattens or OOMs. CSI
 # models: DETR's bs256/512/1024 probe found bs256 at the knee; the other

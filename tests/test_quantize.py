@@ -205,3 +205,15 @@ def test_resnet3d_quantized_close():
     yq = np.asarray(m.apply(qv, x, train=False))
     rel = np.max(np.abs(yq - y32)) / (np.std(y32) + 1e-9)
     assert rel < 0.35, rel
+
+
+def test_resolve_quant_defaults():
+    """Per-model int8 defaults follow the measured table (BASELINE.md):
+    'auto' must never quantize a model that measured flat or unmeasured."""
+    from multi_modal_csi_tpu.core.config import resolve_quant
+    assert resolve_quant("auto", "DETR") == "w8a8"
+    assert resolve_quant("auto", "MLP") == "w8"
+    assert resolve_quant("auto", "CNN-2D") is None     # measured flat
+    assert resolve_quant("auto", "ResNet") is None     # hooked, unmeasured
+    assert resolve_quant("none", "DETR") is None
+    assert resolve_quant("w8", "CNN-2D") == "w8"       # explicit wins
