@@ -4,7 +4,7 @@ plus the video clips/sec/chip axis (S3D) and the flagship's MFU.
 Prints ONE JSON line:
   {"metric": "csi_windows_per_sec_per_chip", "value": N, "unit": "windows/s",
    "vs_baseline": R, "video_clips_per_sec_per_chip": C,
-   "video_vs_baseline": RV, "mfu": M}
+   "video_vs_baseline": RV, "mfu": M, "int8_windows_per_sec": Q}
 
 The BASELINE.json north-star is "CSI windows/sec/chip AND video
 clips/sec/chip"; both now ride the same line (VERDICT r2 next #5). `mfu` is
@@ -84,6 +84,19 @@ def main() -> None:
 
     wps = chained_wps(step, variables, x, batch)
 
+    # int8 serving path (w8a8 — DETR's measured winner, core.config.
+    # QUANT_DEFAULTS / BASELINE.md int8 section). Headline stays bf16 for
+    # cross-round comparability; this field tracks the quantized config.
+    wps_int8 = None
+    try:
+        from multi_modal_csi_tpu.core.quantize import quantize_for_serving
+        calib = [jnp.asarray(np.asarray(x[:32], np.float32))]
+        qv = quantize_for_serving(model, variables, calib, mode="w8a8",
+                                  train=False)
+        wps_int8 = chained_wps(step, qv, x, batch)
+    except Exception:
+        pass
+
     # MFU from the compiled program's own cost analysis (flops per step),
     # using the marginal steps/sec just measured
     mfu = None
@@ -125,6 +138,8 @@ def main() -> None:
         "video_clips_per_sec_per_chip": round(cps, 2),
         "video_vs_baseline": round(cps / PYTORCH_CPU_BASELINE_S3D_CPS, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "int8_windows_per_sec": (round(wps_int8, 2)
+                                 if wps_int8 is not None else None),
     }))
 
 

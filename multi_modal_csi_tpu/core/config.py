@@ -279,14 +279,18 @@ def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
 # with full int8 MXU ("w8a8": DETR +13.5%, THAT_ENCODER +15.6%); the
 # weight-readback-bound MLP wins with weight-only ("w8", +12.4% — its
 # activation-quantize pass over the 810k-wide input costs more than int8
-# compute saves); CNN-2D and the measured-flat models default to None so
-# "auto" never trades accuracy for nothing. Video conv backbones are
-# hooked but unmeasured -> None until a measured row exists.
+# compute saves); the compute-bound video conv backbones win big with
+# w8a8 (ResNet3D +52.5%, S3D +14.2% — tools/exp_quant_video.py); CNN-2D
+# and the attention video backbones measured flat (MViT-v2 +2.7%, Swin-T
+# ~0 — the bf16 flash-attention core dominates) and default to None so
+# "auto" never trades accuracy for nothing.
 QUANT_DEFAULTS: Dict[str, Optional[str]] = {
     "DETR": "w8a8",
     "THAT_ENCODER": "w8a8",
     "THAT": "w8",
     "MLP": "w8",
+    "ResNet": "w8a8",
+    "S3D": "w8a8",
 }
 
 

@@ -214,6 +214,7 @@ def test_resolve_quant_defaults():
     assert resolve_quant("auto", "DETR") == "w8a8"
     assert resolve_quant("auto", "MLP") == "w8"
     assert resolve_quant("auto", "CNN-2D") is None     # measured flat
-    assert resolve_quant("auto", "ResNet") is None     # hooked, unmeasured
+    assert resolve_quant("auto", "ResNet") == "w8a8"   # measured +52.5%
+    assert resolve_quant("auto", "Swin-T") is None     # measured flat
     assert resolve_quant("none", "DETR") is None
     assert resolve_quant("w8", "CNN-2D") == "w8"       # explicit wins
