@@ -65,8 +65,13 @@ def main() -> None:
     p.add_argument("--dtype", default="auto",
                    help="auto | float32 | bfloat16 (auto = per-model default)")
     p.add_argument("--input-dtype", default="float32",
-                   help="dtype the artifact accepts (bfloat16 halves H2D "
-                        "and first-layer HBM traffic; caller quantizes)")
+                   help="dtype the artifact accepts (bfloat16 halves, int8 "
+                        "quarters H2D and first-layer HBM traffic; caller "
+                        "quantizes — int8 needs --input-scale or --calib)")
+    p.add_argument("--input-scale", type=float, default=None,
+                   help="int8 input dequant scale (host quantizes as "
+                        "round(x/scale); derived as amax/127 from --calib "
+                        "when omitted)")
     p.add_argument("--quant", default="none",
                    choices=["none", "auto", "w8", "w8a8"],
                    help="int8 post-training quantization of the hooked "
@@ -134,14 +139,23 @@ def main() -> None:
         raise SystemExit(f"--quant {args.quant} resolved to w8a8 for "
                          f"{args.model}: pass --calib with real input "
                          "batches to calibrate the activation scales")
+    input_scale = args.input_scale
+    if args.input_dtype == "int8" and input_scale is None:
+        if calib_x is None:
+            raise SystemExit("--input-dtype int8 needs --input-scale or "
+                             "--calib to derive the dequant scale")
+        input_scale = max(float(np.max(np.abs(np.concatenate(
+            [np.asarray(b).ravel() for b in calib_x])))), 1e-12) / 127.0
     blob = export_serving(model, variables, example, serving_dtype=dtype,
                           input_dtype=args.input_dtype,
                           quant=quant, calib_x=calib_x,
+                          input_scale=input_scale,
                           platforms=args.platforms.split(","))
     save_artifact(args.out, blob, {
         "model": args.model, "task": args.task, "batch": args.batch,
         "input_shape": list(shape), "serving_dtype": dtype,
         "input_dtype": args.input_dtype, "quant": quant,
+        "input_scale": input_scale,
         "platforms": args.platforms.split(","),
         "pretrained": bool(args.pretrained),
     })

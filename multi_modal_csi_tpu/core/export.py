@@ -41,6 +41,7 @@ def export_serving(model, variables: Any, example_x,
                    input_dtype: Optional[str] = None,
                    quant: Optional[str] = None,
                    calib_x: Optional[Sequence] = None,
+                   input_scale: Optional[float] = None,
                    platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
     """Export `model.apply(variables, x, train=False)` as a serving artifact.
 
@@ -56,6 +57,12 @@ def export_serving(model, variables: Any, example_x,
     leaves stay f32). "w8a8" needs real `calib_x` batches to calibrate the
     activation scales; "w8" only discovers the hooked layers, so a zero
     batch suffices and calib_x may be omitted.
+    input_dtype="int8": the artifact accepts host-quantized int8 inputs
+    and dequantizes inline (x * input_scale as the first op) — quarters
+    H2D + first-layer HBM read vs f32 (measured +24% on the input-bound
+    MLP over even the bf16 contract, tools/exp_int8_input.py).
+    `input_scale` is required then (or derived as amax/127 from calib_x);
+    the host quantizes as round(x / input_scale).clip(-127, 127).
     Returns the serialized bytes (see save_artifact/load_serving).
     """
     from jax import export as jax_export
@@ -76,15 +83,27 @@ def export_serving(model, variables: Any, example_x,
         variables = quantize_for_serving(model, variables, calib_x,
                                          mode=quant, train=False)
 
+    in_dtype = (jnp.dtype(input_dtype) if input_dtype
+                else jnp.dtype(getattr(example_x, "dtype", np.float32)))
+    if in_dtype == jnp.int8:
+        if input_scale is None:
+            if not calib_x:
+                raise ValueError("input_dtype='int8' needs input_scale "
+                                 "or calib_x to derive it")
+            input_scale = max(float(max(np.max(np.abs(np.asarray(b)))
+                                        for b in calib_x)), 1e-12) / 127.0
+        input_scale = float(input_scale)
+
     def forward(x):
-        if dtype is not None:
+        if x.dtype == jnp.int8:
+            x = x.astype(dtype or jnp.float32) * jnp.asarray(
+                input_scale, dtype or jnp.float32)
+        elif dtype is not None:
             x = x.astype(dtype)
         out = model.apply(variables, x, train=False)
         return jax.tree_util.tree_map(
             lambda o: o.astype(jnp.float32), out)
 
-    in_dtype = (jnp.dtype(input_dtype) if input_dtype
-                else getattr(example_x, "dtype", np.float32))
     spec = jax.ShapeDtypeStruct(np.shape(example_x), in_dtype)
     from ..kernels.flash_attention import flash_mode
     mode = "on" if tuple(platforms) == ("tpu",) else "off"

