@@ -45,28 +45,55 @@ def extract_amplitude(csi: np.ndarray, use_device: bool = False):
             np.angle(csi).astype(np.float32))
 
 
+def _convert_one(job) -> tuple:
+    """One trace end-to-end (loadmat -> amplitude/phase -> save).
+
+    Module-level so it pickles for the worker pool. Preprocessing is
+    .mat-PARSE-bound (tools/bench_preprocess.py: the vectorized abs is
+    ~free; scipy's nested-struct unpacking is ~98% of the time), so the
+    scaling lever is process parallelism over independent traces — the
+    reference is strictly single-process (preprocess.py:35-59).
+    """
+    import scipy.io as scio
+    path_mat, dir_amp, dir_phase, use_device = job
+    data_mat = scio.loadmat(path_mat)
+    csi = mat_trace_to_complex(data_mat)
+    amp, phase = extract_amplitude(csi, use_device)
+    out = os.path.basename(path_mat).replace(".mat", ".npy")
+    np.save(os.path.join(dir_amp, out), amp)
+    if dir_phase:
+        np.save(os.path.join(dir_phase, out), phase)
+    return out, amp.shape
+
+
 def extract_csi_amp(dir_mat: str, dir_amp: str,
                     dir_phase: str | None = None,
-                    use_device: bool = False) -> int:
-    """Process every .mat in dir_mat; returns the number converted."""
-    import scipy.io as scio
+                    use_device: bool = False,
+                    workers: int = 1) -> int:
+    """Process every .mat in dir_mat; returns the number converted.
+
+    workers > 1 fans the traces over a process pool (they are fully
+    independent); use_device is incompatible with workers > 1 (one TPU).
+    """
     os.makedirs(dir_amp, exist_ok=True)
     if dir_phase:
         os.makedirs(dir_phase, exist_ok=True)
-    count = 0
-    for name in sorted(os.listdir(dir_mat)):
-        if not name.endswith(".mat"):
-            continue
-        data_mat = scio.loadmat(os.path.join(dir_mat, name))
-        csi = mat_trace_to_complex(data_mat)
-        amp, phase = extract_amplitude(csi, use_device)
-        out = name.replace(".mat", ".npy")
-        np.save(os.path.join(dir_amp, out), amp)
-        if dir_phase:
-            np.save(os.path.join(dir_phase, out), phase)
-        count += 1
-        print(count, amp.shape)
-    return count
+    jobs = [(os.path.join(dir_mat, name), dir_amp, dir_phase, use_device)
+            for name in sorted(os.listdir(dir_mat))
+            if name.endswith(".mat")]
+    if workers > 1:
+        if use_device:
+            raise ValueError("--device is single-process (one accelerator)")
+        import multiprocessing
+        with multiprocessing.Pool(workers) as pool:
+            for i, (_, shape) in enumerate(
+                    pool.imap_unordered(_convert_one, jobs), 1):
+                print(i, shape)
+        return len(jobs)
+    for i, job in enumerate(jobs, 1):
+        _, shape = _convert_one(job)
+        print(i, shape)
+    return len(jobs)
 
 
 def main() -> None:
@@ -76,9 +103,13 @@ def main() -> None:
     p.add_argument("--dir_phase", default=None)
     p.add_argument("--device", action="store_true",
                    help="run the amplitude kernel on the accelerator")
+    p.add_argument("--workers", type=int, default=1,
+                   help="process-pool width (traces are independent; "
+                        "preprocessing is .mat-parse-bound)")
     args = p.parse_args()
     t0 = time.time()
-    n = extract_csi_amp(args.dir_mat, args.dir_amp, args.dir_phase, args.device)
+    n = extract_csi_amp(args.dir_mat, args.dir_amp, args.dir_phase,
+                        args.device, workers=args.workers)
     print(f"converted {n} traces in {time.time() - t0:.1f}s")
 
 
