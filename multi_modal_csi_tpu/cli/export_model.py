@@ -72,6 +72,10 @@ def main() -> None:
                    help="int8 input dequant scale (host quantizes as "
                         "round(x/scale); derived as amax/127 from --calib "
                         "when omitted)")
+    p.add_argument("--no-fold-bn", action="store_true",
+                   help="disable the MLP input-BatchNorm fold (folded by "
+                        "default at export: exact eval-mode math, +63% "
+                        "measured serving throughput — BASELINE.md)")
     p.add_argument("--quant", default="none",
                    choices=["none", "auto", "w8", "w8a8"],
                    help="int8 post-training quantization of the hooked "
@@ -128,6 +132,13 @@ def main() -> None:
         variables = {"params": params, **({"batch_stats": batch_stats}
                                           if batch_stats else {})}
 
+    folded = False
+    if args.model == "MLP" and not args.no_fold_bn:
+        from ..models.csi.mlp import MLP, fold_input_norm
+        variables = fold_input_norm(variables)
+        model = MLP(out_features=out_dim, fold_input_norm=True)
+        folded = True
+
     dtype = resolve_serving_dtype(args.dtype, args.model)
     quant = resolve_quant(args.quant, args.model)
     calib_x = None
@@ -155,7 +166,7 @@ def main() -> None:
         "model": args.model, "task": args.task, "batch": args.batch,
         "input_shape": list(shape), "serving_dtype": dtype,
         "input_dtype": args.input_dtype, "quant": quant,
-        "input_scale": input_scale,
+        "input_scale": input_scale, "folded_bn": folded,
         "platforms": args.platforms.split(","),
         "pretrained": bool(args.pretrained),
     })

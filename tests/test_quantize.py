@@ -218,3 +218,34 @@ def test_resolve_quant_defaults():
     assert resolve_quant("auto", "Swin-T") is None     # measured flat
     assert resolve_quant("none", "DETR") is None
     assert resolve_quant("w8", "CNN-2D") == "w8"       # explicit wins
+
+
+def test_mlp_fold_input_norm_exact():
+    """Serving BN fold (models/csi/mlp.py::fold_input_norm): folded model
+    == live-BN model to f32 dot-summation tolerance, composes with w8, and
+    the folded tree has no input_norm leaves. (+63% measured on chip —
+    BASELINE.md int8 section.)"""
+    from multi_modal_csi_tpu.models.csi.mlp import MLP, fold_input_norm
+    x = jax.random.normal(jax.random.PRNGKey(9), (8, 600))
+    m = M.MLP(out_features=9)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # non-trivial running stats (fresh init would make the fold a no-op)
+    v = jax.device_get(v)
+    bn = v["batch_stats"]["input_norm"]["bn"]
+    bn["mean"] = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (600,))) * 0.2
+    bn["var"] = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(2), (600,))) * 0.5 + 0.75
+    ref = np.asarray(m.apply(v, x, train=False))
+    vf = fold_input_norm(v)
+    assert "input_norm" not in vf["params"]
+    assert "batch_stats" not in vf
+    mf = MLP(out_features=9, fold_input_norm=True)
+    got = np.asarray(mf.apply(vf, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    # composes with weight-only int8
+    qv = qz.quantize_for_serving(mf, vf, [x], mode="w8", min_size=4096,
+                                 train=False)
+    yq = np.asarray(mf.apply(qv, x, train=False))
+    rel = np.max(np.abs(yq - ref)) / (np.std(ref) + 1e-9)
+    assert rel < 0.25, rel
