@@ -275,22 +275,23 @@ def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
 
 
 # Measured int8-serving winners (tools/exp_quant_serving.py on the real
-# chip, BASELINE.md int8 section): compute-bound transformer models win
-# with full int8 MXU ("w8a8": DETR +13.5%, THAT_ENCODER +15.6%); the
-# weight-readback-bound MLP wins with weight-only ("w8", +12.4% — its
-# activation-quantize pass over the 810k-wide input costs more than int8
-# compute saves); the compute-bound video conv backbones win big with
-# w8a8 (ResNet3D +52.5%, S3D +14.2% — tools/exp_quant_video.py); CNN-2D
-# and the attention video backbones measured flat (MViT-v2 +2.7%, Swin-T
-# ~0 — the bf16 flash-attention core dominates) and default to None so
-# "auto" never trades accuracy for nothing.
+# chip, two runs, BASELINE.md int8 section — defaults set only where both
+# runs agree on the direction): compute-bound transformer models win with
+# full int8 MXU ("w8a8": DETR +23% with the MHA-projection hooks,
+# THAT_ENCODER stable-never-slower); the weight-readback-bound MLP wins
+# with weight-only ("w8", +8-12% — its activation-quantize pass over the
+# 810k-wide input costs more than int8 compute saves); the compute-bound
+# video conv backbones win big with w8a8 (ResNet3D +52.5%, S3D +14.2% —
+# tools/exp_quant_video.py); CNN-2D/THAT and the attention video
+# backbones measured noise-level and default to None so "auto" never
+# trades accuracy for nothing.
 QUANT_DEFAULTS: Dict[str, Optional[str]] = {
-    "DETR": "w8a8",
-    "THAT_ENCODER": "w8a8",
-    "THAT": "w8",
-    "MLP": "w8",
-    "ResNet": "w8a8",
-    "S3D": "w8a8",
+    "DETR": "w8a8",          # +23% within-run after the MHA-projection hooks
+    "THAT_ENCODER": "w8a8",  # int8 stable 12.0-12.2k vs bf16's 10.5-12.0k
+    "MLP": "w8",             # +8-12% within-run, both runs
+    "ResNet": "w8a8",        # +52.5%
+    "S3D": "w8a8",           # +14.2%
+    # THAT measured +3.9% then -1.4% across runs (tunnel noise): no default.
 }
 
 

@@ -109,6 +109,20 @@ def maybe_sow_amax(module, x: jax.Array) -> None:
                reduce_fn=jnp.maximum)
 
 
+def maybe_mark_weight_only(module, *param_names: str) -> None:
+    """Announce named params (e.g. MultiheadAttention's packed
+    ``in_proj_weight``) as WEIGHT-ONLY quantizable: they get int8 + a
+    ``<name>_scale`` sibling under every mode, never an input_scale —
+    attention projections see two different inputs under cross-attention,
+    so per-tensor activation scales do not apply to them."""
+    if module.is_initializing() or not module.is_mutable_collection(STATS_COL):
+        return
+    for name in param_names:
+        module.sow(STATS_COL, f"wonly__{name}", jnp.float32(0.0),
+                   init_fn=lambda: jnp.float32(0.0),
+                   reduce_fn=lambda a, b: b)
+
+
 def _fetch_scales(module, kernel: jax.Array):
     """Fetch the scale leaves next to an int8 kernel. ``input_scale`` is
     present only for w8a8 trees (its absence selects the w8 path)."""
@@ -167,9 +181,11 @@ def _dict_path(keypath) -> Tuple[str, ...]:
 
 
 def calibrate(apply_fn: Callable, variables: Dict, batches
-              ) -> Dict[Tuple[str, ...], float]:
+              ) -> Dict[Tuple[str, ...], Optional[float]]:
     """Run batches with ``quant_stats`` mutable; return, per hooked layer,
-    the input max-abs keyed by the layer's KERNEL param path.
+    the input max-abs keyed by the layer's KERNEL param path. Weight-only
+    announcements (``maybe_mark_weight_only``) appear with value ``None``
+    keyed by their own param path.
 
     ``apply_fn(variables, batch, mutable)`` must forward to module.apply
     with the mutable list passed through — typically
@@ -177,17 +193,21 @@ def calibrate(apply_fn: Callable, variables: Dict, batches
     suffices for w8 (the values are unused, only the key set matters).
     """
     params = variables["params"] if "params" in variables else variables
-    amax: Dict[Tuple[str, ...], float] = {}
+    amax: Dict[Tuple[str, ...], Optional[float]] = {}
     for batch in batches:
         _, aux = apply_fn(variables, batch, mutable=[STATS_COL])
         for keypath, val in jax.tree_util.tree_flatten_with_path(
                 dict(aux).get(STATS_COL, {}))[0]:
             names = _dict_path(keypath)
+            if names and names[-1].startswith("wonly__"):
+                path = names[:-1] + (names[-1][len("wonly__"):],)
+                amax.setdefault(path, None)
+                continue
             if names and names[-1] == "amax":
                 names = names[:-1]
             path = names + ("kernel",)
             vmax = float(np.max(np.asarray(jax.device_get(val))))
-            amax[path] = max(amax.get(path, 0.0), vmax)
+            amax[path] = max(amax.get(path) or 0.0, vmax)
     for path in amax:
         node: Any = params
         for key in path:
@@ -221,10 +241,13 @@ def quantize_params(params: Dict, amax: Dict[Tuple[str, ...], float],
                   and jnp.issubdtype(val.dtype, jnp.floating)):
                 q, scale = quantize_array(val)
                 out[key] = q
-                out["kernel_scale"] = scale
-                if mode == "w8a8":
-                    out["input_scale"] = jnp.float32(
-                        max(amax[path], 1e-12) / 127.0)
+                if key == "kernel":
+                    out["kernel_scale"] = scale
+                    if mode == "w8a8" and amax[path] is not None:
+                        out["input_scale"] = jnp.float32(
+                            max(amax[path], 1e-12) / 127.0)
+                else:     # weight-only named param (e.g. in_proj_weight)
+                    out[f"{key}_scale"] = scale
             else:
                 out[key] = val
         return out

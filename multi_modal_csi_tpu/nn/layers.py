@@ -303,7 +303,30 @@ class MultiheadAttention(nn.Module):
         d = e // h
         in_proj_w = self.param("in_proj_weight", xavier_uniform(), (e, 3 * e))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
-        q = jnp.dot(query, in_proj_w[:, :e], preferred_element_type=jnp.float32) + in_proj_b[:e]
+        # int8-serving hook (core/quantize.py): the packed projections are
+        # WEIGHT-ONLY quantizable (cross-attention feeds two different
+        # inputs, so per-tensor activation scales do not apply); an int8
+        # leaf selects the inline-dequant path, scales applied per packed
+        # OUTPUT column so the slices below stay aligned.
+        in_scale = out_scale = None
+        if in_proj_w.dtype == jnp.int8:
+            in_scale = self.param(
+                "in_proj_weight_scale",
+                lambda *_: jnp.ones((3 * e,), jnp.float32), (3 * e,))
+        else:
+            _quant.maybe_mark_weight_only(self, "in_proj_weight",
+                                          "out_proj_weight")
+
+        def proj(x, w, b, scale):
+            if scale is None:
+                return jnp.dot(x, w,
+                               preferred_element_type=jnp.float32) + b
+            y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            return y * scale + b
+
+        q = proj(query, in_proj_w[:, :e], in_proj_b[:e],
+                 None if in_scale is None else in_scale[:e])
 
         def split(t):  # (B, L, E) -> (B, L, H, D); heads stay in place —
             # the einsums below contract in bqhd/bkhd layout directly, so no
@@ -313,8 +336,10 @@ class MultiheadAttention(nn.Module):
             return t.reshape(*t.shape[:-1], h, d)
 
         if kv is None:
-            k = jnp.dot(key, in_proj_w[:, e:2 * e], preferred_element_type=jnp.float32) + in_proj_b[e:2 * e]
-            v = jnp.dot(value, in_proj_w[:, 2 * e:], preferred_element_type=jnp.float32) + in_proj_b[2 * e:]
+            k = proj(key, in_proj_w[:, e:2 * e], in_proj_b[e:2 * e],
+                     None if in_scale is None else in_scale[e:2 * e])
+            v = proj(value, in_proj_w[:, 2 * e:], in_proj_b[2 * e:],
+                     None if in_scale is None else in_scale[2 * e:])
             k, v = split(k), split(v)
         else:
             k, v = kv
@@ -343,7 +368,10 @@ class MultiheadAttention(nn.Module):
         # Serving dtype is signalled by the PARAM dtype (cast_for_serving):
         # activations may arrive f32 even in bf16 serving because LayerNorm
         # promotes — keying on query.dtype silently kept everything f32.
-        act_dtype = jnp.bfloat16 if in_proj_w.dtype == jnp.bfloat16 \
+        # Under int8 weights the BIAS still carries the serving dtype.
+        _w_dtype = (in_proj_b.dtype if in_proj_w.dtype == jnp.int8
+                    else in_proj_w.dtype)
+        act_dtype = jnp.bfloat16 if _w_dtype == jnp.bfloat16 \
             else jnp.float32
         if use_flash or use_flash_train:
             from ..kernels.flash_attention import (flash_attention,
@@ -358,8 +386,11 @@ class MultiheadAttention(nn.Module):
             out_w = self.param("out_proj_weight", torch_linear_weight(),
                                (e, e))
             out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,))
-            out = jnp.dot(ctx, out_w,
-                          preferred_element_type=jnp.float32) + out_b
+            if out_w.dtype == jnp.int8:
+                out_scale = self.param(
+                    "out_proj_weight_scale",
+                    lambda *_: jnp.ones((e,), jnp.float32), (e,))
+            out = proj(ctx, out_w, out_b, out_scale)
             if self.output_scale != 1.0:
                 out = out * (1.0 / self.output_scale)
             out = out.astype(query.dtype)
@@ -397,7 +428,11 @@ class MultiheadAttention(nn.Module):
         ctx = ctx.reshape(*query.shape[:-1], e)
         out_w = self.param("out_proj_weight", torch_linear_weight(), (e, e))
         out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,))
-        out = jnp.dot(ctx, out_w, preferred_element_type=jnp.float32) + out_b
+        if out_w.dtype == jnp.int8:
+            out_scale = self.param(
+                "out_proj_weight_scale",
+                lambda *_: jnp.ones((e,), jnp.float32), (e,))
+        out = proj(ctx, out_w, out_b, out_scale)
         if self.output_scale != 1.0:
             out = out * (1.0 / self.output_scale)
         out = out.astype(query.dtype)

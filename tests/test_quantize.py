@@ -214,6 +214,7 @@ def test_resolve_quant_defaults():
     assert resolve_quant("auto", "DETR") == "w8a8"
     assert resolve_quant("auto", "MLP") == "w8"
     assert resolve_quant("auto", "CNN-2D") is None     # measured flat
+    assert resolve_quant("auto", "THAT") is None       # noise-level gains
     assert resolve_quant("auto", "ResNet") == "w8a8"   # measured +52.5%
     assert resolve_quant("auto", "Swin-T") is None     # measured flat
     assert resolve_quant("none", "DETR") is None
@@ -249,3 +250,51 @@ def test_mlp_fold_input_norm_exact():
     yq = np.asarray(mf.apply(qv, x, train=False))
     rel = np.max(np.abs(yq - ref)) / (np.std(ref) + 1e-9)
     assert rel < 0.25, rel
+
+
+def test_mha_weight_only_quantization():
+    """MultiheadAttention packed projections are weight-only hooked: int8
+    + per-output-column scales, NEVER an input_scale (cross-attention has
+    two inputs), and logits stay close to float, under both w8 and w8a8."""
+    from multi_modal_csi_tpu.nn.layers import MultiheadAttention
+
+    class SelfAttn(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return MultiheadAttention(embed_dim=128, num_heads=4)(
+                x, x, x, deterministic=True)
+
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 16, 128))
+    m = SelfAttn()
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(v, x))
+    for mode in ("w8", "w8a8"):
+        qv = qz.quantize_for_serving(m, v, [x], mode=mode, min_size=4096,
+                                     train=False)
+        p = _paths(qv["params"])
+        mha = [k for k in p if "in_proj_weight" in k and "scale" not in k]
+        assert p[mha[0]].dtype == jnp.int8, (mode, mha)
+        assert any(k.endswith("in_proj_weight_scale") for k in p)
+        assert any(k.endswith("out_proj_weight_scale") for k in p)
+        assert not any(k.endswith("input_scale") for k in p), mode
+        got = np.asarray(m.apply(qv, x))
+        rel = np.max(np.abs(got - ref)) / (np.std(ref) + 1e-9)
+        assert rel < 0.3, (mode, rel)
+
+
+def test_that_encoder_quantized_with_attention():
+    """THAT_ENCODER end-to-end with conv + FFN + attention projections all
+    int8: runs and stays close."""
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 600, 270))
+    m = M.THATEncoderDETR(temp_cross=2.0, num_queries=5,
+                          num_decoder_layers=2)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    y32 = np.asarray(m.apply(v, x, train=False))
+    qv = qz.quantize_for_serving(m, v, [x], mode="w8a8", train=False)
+    p = _paths(qv["params"])
+    assert any(k.endswith("in_proj_weight") and p[k].dtype == jnp.int8
+               for k in p), [k for k in p if "in_proj" in k]
+    yq = np.asarray(m.apply(qv, x, train=False))
+    rel = np.max(np.abs(yq - y32)) / (np.std(y32) + 1e-9)
+    assert rel < 0.5, rel
