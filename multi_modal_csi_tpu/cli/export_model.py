@@ -86,6 +86,9 @@ def main() -> None:
     p.add_argument("--calib", default=None,
                    help="path to a .npy of calibration inputs (N, *input) "
                         "for --quant w8a8; split into batches of --batch")
+    p.add_argument("--calib-stat", default="amax", choices=["amax", "p999"],
+                   help="w8a8 activation-scale statistic: exact max-abs or "
+                        "the outlier-robust 99.9th percentile")
     p.add_argument("--platforms", default="tpu,cpu")
     p.add_argument("--seed", type=int, default=39)
     p.add_argument("--clip-shape", default=None,
@@ -160,6 +163,7 @@ def main() -> None:
     blob = export_serving(model, variables, example, serving_dtype=dtype,
                           input_dtype=args.input_dtype,
                           quant=quant, calib_x=calib_x,
+                          calib_stat=args.calib_stat,
                           input_scale=input_scale,
                           platforms=args.platforms.split(","))
     save_artifact(args.out, blob, {

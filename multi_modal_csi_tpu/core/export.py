@@ -41,6 +41,7 @@ def export_serving(model, variables: Any, example_x,
                    input_dtype: Optional[str] = None,
                    quant: Optional[str] = None,
                    calib_x: Optional[Sequence] = None,
+                   calib_stat: str = "amax",
                    input_scale: Optional[float] = None,
                    platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
     """Export `model.apply(variables, x, train=False)` as a serving artifact.
@@ -81,7 +82,8 @@ def export_serving(model, variables: Any, example_x,
                 raise ValueError("w8a8 export needs calib_x batches")
             calib_x = [np.zeros(np.shape(example_x), np.float32)]
         variables = quantize_for_serving(model, variables, calib_x,
-                                         mode=quant, train=False)
+                                         mode=quant, stat=calib_stat,
+                                         train=False)
 
     in_dtype = (jnp.dtype(input_dtype) if input_dtype
                 else jnp.dtype(getattr(example_x, "dtype", np.float32)))

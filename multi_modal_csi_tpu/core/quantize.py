@@ -103,8 +103,14 @@ def maybe_sow_amax(module, x: jax.Array) -> None:
     """
     if module.is_initializing() or not module.is_mutable_collection(STATS_COL):
         return
-    module.sow(STATS_COL, "amax",
-               jnp.max(jnp.abs(x.astype(jnp.float32))),
+    ax = jnp.abs(x.astype(jnp.float32))
+    module.sow(STATS_COL, "amax", jnp.max(ax),
+               init_fn=lambda: jnp.float32(0.0),
+               reduce_fn=jnp.maximum)
+    # 99.9th percentile alongside: an outlier-robust w8a8 scale choice
+    # (activations beyond it saturate at +-127 instead of stretching the
+    # whole grid). Costs a sort per layer, calibration traces only.
+    module.sow(STATS_COL, "p999", jnp.quantile(ax.ravel(), 0.999),
                init_fn=lambda: jnp.float32(0.0),
                reduce_fn=jnp.maximum)
 
@@ -180,18 +186,24 @@ def _dict_path(keypath) -> Tuple[str, ...]:
                  if isinstance(k, jax.tree_util.DictKey))
 
 
-def calibrate(apply_fn: Callable, variables: Dict, batches
-              ) -> Dict[Tuple[str, ...], Optional[float]]:
+def calibrate(apply_fn: Callable, variables: Dict, batches,
+              stat: str = "amax") -> Dict[Tuple[str, ...], Optional[float]]:
     """Run batches with ``quant_stats`` mutable; return, per hooked layer,
-    the input max-abs keyed by the layer's KERNEL param path. Weight-only
-    announcements (``maybe_mark_weight_only``) appear with value ``None``
-    keyed by their own param path.
+    the calibrated input statistic keyed by the layer's KERNEL param path.
+    Weight-only announcements (``maybe_mark_weight_only``) appear with
+    value ``None`` keyed by their own param path.
+
+    ``stat``: "amax" (exact range) or "p999" (99.9th percentile of |x|,
+    outlier-robust — values beyond it saturate instead of stretching the
+    int8 grid; reduced by max over calibration batches either way).
 
     ``apply_fn(variables, batch, mutable)`` must forward to module.apply
     with the mutable list passed through — typically
     ``lambda v, b, mutable: model.apply(v, b, mutable=mutable)``. One batch
     suffices for w8 (the values are unused, only the key set matters).
     """
+    if stat not in ("amax", "p999"):
+        raise ValueError(f"unknown calibration stat {stat!r}")
     params = variables["params"] if "params" in variables else variables
     amax: Dict[Tuple[str, ...], Optional[float]] = {}
     for batch in batches:
@@ -203,7 +215,9 @@ def calibrate(apply_fn: Callable, variables: Dict, batches
                 path = names[:-1] + (names[-1][len("wonly__"):],)
                 amax.setdefault(path, None)
                 continue
-            if names and names[-1] == "amax":
+            if names and names[-1] in ("amax", "p999"):
+                if names[-1] != stat:
+                    continue
                 names = names[:-1]
             path = names + ("kernel",)
             vmax = float(np.max(np.asarray(jax.device_get(val))))
@@ -257,14 +271,14 @@ def quantize_params(params: Dict, amax: Dict[Tuple[str, ...], float],
 
 def quantize_for_serving(model, variables: Dict, batches, mode: str = "w8",
                          min_size: int = DEFAULT_MIN_WEIGHT_SIZE,
-                         **apply_kwargs) -> Dict:
+                         stat: str = "amax", **apply_kwargs) -> Dict:
     """One-stop: discover + calibrate + quantize. Returns new ``variables``
     (params swapped; batch_stats etc. untouched). ``apply_kwargs`` are
     forwarded to ``model.apply`` (e.g. ``train=False``)."""
     def apply_fn(v, b, mutable):
         return model.apply(v, b, mutable=mutable, **apply_kwargs)
 
-    amax = calibrate(apply_fn, variables, batches)
+    amax = calibrate(apply_fn, variables, batches, stat=stat)
     out = dict(variables)
     out["params"] = quantize_params(variables["params"], amax,
                                     mode=mode, min_size=min_size)

@@ -298,3 +298,25 @@ def test_that_encoder_quantized_with_attention():
     yq = np.asarray(m.apply(qv, x, train=False))
     rel = np.max(np.abs(yq - y32)) / (np.std(y32) + 1e-9)
     assert rel < 0.5, rel
+
+
+def test_percentile_calibration_robust_to_outliers():
+    """stat='p999' gives an outlier-robust w8a8 scale: with one huge spike
+    in the calibration data, amax stretches the int8 grid (coarse bulk
+    resolution) while p999 saturates the spike and keeps the bulk fine."""
+    lin = Linear(64)
+    x = jax.random.normal(jax.random.PRNGKey(12), (64, 128))
+    v = lin.init(jax.random.PRNGKey(0), x)
+    y_ref = np.asarray(lin.apply(v, x))
+    spike = np.array(x)
+    spike[0, 0] = 1000.0
+    calib = [jnp.asarray(spike)]
+    q_amax = qz.quantize_for_serving(lin, v, calib, mode="w8a8", min_size=1)
+    q_p999 = qz.quantize_for_serving(lin, v, calib, mode="w8a8", min_size=1,
+                                     stat="p999")
+    s_amax = float(_paths(q_amax["params"])["input_scale"])
+    s_p999 = float(_paths(q_p999["params"])["input_scale"])
+    assert s_p999 < s_amax / 10     # spike absorbed by the percentile
+    err_amax = np.max(np.abs(np.asarray(lin.apply(q_amax, x)) - y_ref))
+    err_p999 = np.max(np.abs(np.asarray(lin.apply(q_p999, x)) - y_ref))
+    assert err_p999 < err_amax / 2, (err_p999, err_amax)
