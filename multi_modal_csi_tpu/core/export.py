@@ -146,3 +146,44 @@ def load_serving(blob: bytes) -> Callable:
 def serve_file(path: str) -> Tuple[Callable, dict]:
     blob, meta = load_artifact(path)
     return load_serving(blob), meta
+
+
+def serve_ragged(fn: Callable, batch: int,
+                 axis: Optional[int] = None) -> Callable:
+    """Wrap an artifact callable (fixed batch `batch`) to accept ragged
+    request sizes: splits into full batches, zero-pads the remainder, and
+    concatenates the un-padded outputs. The reference's inference path has
+    no equivalent (it forwards the whole test set in one variable-size
+    batch — inference_only.py:60-66); a static-shape artifact needs this
+    shim once requests stop aligning to the export batch.
+
+    The output batch axis is located by size (the unique axis of length
+    `batch` — DETR artifacts return (L, B, Q, C), MLP (B, C)); when the
+    shape is ambiguous (another axis happens to equal `batch`) it raises
+    instead of guessing — pass `axis` explicitly then.
+    """
+    def call(x, axis=axis):
+        x = np.asarray(x)
+        outs = []
+        for start in range(0, x.shape[0], batch):
+            chunk = x[start:start + batch]
+            pad = batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                     chunk.dtype)], axis=0)
+            out = np.asarray(fn(chunk))
+            if axis is None:
+                axes = [i for i, s in enumerate(out.shape) if s == batch]
+                if len(axes) != 1:
+                    raise ValueError("cannot identify the batch axis in "
+                                     f"output shape {out.shape}")
+                axis = axes[0]
+            if pad:
+                sl = [slice(None)] * out.ndim
+                sl[axis] = slice(0, batch - pad)
+                out = out[tuple(sl)]
+            outs.append(out)
+        return np.concatenate(outs, axis=axis)
+
+    return call

@@ -248,3 +248,39 @@ def test_export_int8_input_contract():
                            calib_x=[x], platforms=("cpu",))
     out2 = np.asarray(load_serving(blob2)(jnp.asarray(x8)))
     assert np.isfinite(out2).all()
+
+
+def test_serve_ragged():
+    """The ragged-batch shim: pad/split/slice around a fixed-batch artifact,
+    batch axis located by size (works for (B, C) and (L, B, Q, C) outputs)."""
+    from multi_modal_csi_tpu.core.export import serve_ragged
+    model, variables, x = _tiny_model_and_vars()
+    blob = export_serving(model, variables, x, platforms=("cpu",))  # bs4
+    fn = load_serving(blob)
+    big = np.random.default_rng(3).normal(size=(10, 120)).astype(np.float32)
+    got = serve_ragged(fn, 4)(big)
+    ref = np.asarray(jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(variables,
+                                                       jnp.asarray(big)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # non-leading batch axis: DETR-style (L, B, Q, C)
+    from multi_modal_csi_tpu.models.csi.detr import DETRMultiUser
+    dmodel = DETRMultiUser(num_decoder_layers=2)
+    dx = np.random.default_rng(4).normal(size=(2, 600, 270)).astype(np.float32)
+    dv = dmodel.init({"params": jax.random.PRNGKey(0)},
+                     jnp.asarray(dx), train=False)
+    dblob = export_serving(dmodel, dv, dx, platforms=("cpu",))  # bs2
+    dfn = load_serving(dblob)
+    dbig = np.random.default_rng(5).normal(size=(5, 600, 270)).astype(np.float32)
+    # L == B here (2 decoder layers, batch 2): auto-detection must refuse
+    import pytest
+    with pytest.raises(ValueError):
+        serve_ragged(dfn, 2)(dbig)
+    dgot = serve_ragged(dfn, 2, axis=1)(dbig)
+    dref = np.asarray(jax.jit(
+        lambda v, xx: dmodel.apply(v, xx, train=False))(dv,
+                                                        jnp.asarray(dbig)))
+    assert dgot.shape == dref.shape
+    np.testing.assert_allclose(dgot, dref, rtol=2e-5, atol=2e-5)

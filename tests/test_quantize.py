@@ -320,3 +320,23 @@ def test_percentile_calibration_robust_to_outliers():
     err_amax = np.max(np.abs(np.asarray(lin.apply(q_amax, x)) - y_ref))
     err_p999 = np.max(np.abs(np.asarray(lin.apply(q_p999, x)) - y_ref))
     assert err_p999 < err_amax / 2, (err_p999, err_amax)
+
+
+def test_quantized_tree_shards_under_mesh():
+    """quantize.py claims sharding transparency: a quantized MLP forward
+    under a batch-sharded 8-device mesh must equal the unsharded one."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    x = jax.random.normal(jax.random.PRNGKey(13), (16, 1200))
+    m = M.MLP(out_features=9)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    qv = qz.quantize_for_serving(m, v, [x], mode="w8a8", min_size=4096,
+                                 train=False)
+    ref = np.asarray(jax.jit(
+        lambda vv, xx: m.apply(vv, xx, train=False))(qv, x))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(qv, NamedSharding(mesh, P()))
+    got = np.asarray(jax.jit(
+        lambda vv, xx: m.apply(vv, xx, train=False))(vs, xs))
+    np.testing.assert_array_equal(got, ref)
