@@ -135,12 +135,20 @@ def main() -> None:
         variables = {"params": params, **({"batch_stats": batch_stats}
                                           if batch_stats else {})}
 
+    # Input-BatchNorm folds (exact eval-mode algebra, serving-only):
+    # measured +63% for MLP, +12.3% for CNN-2D (BASELINE.md).
     folded = False
-    if args.model == "MLP" and not args.no_fold_bn:
-        from ..models.csi.mlp import MLP, fold_input_norm
-        variables = fold_input_norm(variables)
-        model = MLP(out_features=out_dim, fold_input_norm=True)
-        folded = True
+    if not args.no_fold_bn:
+        if args.model == "MLP":
+            from ..models.csi.mlp import MLP, fold_input_norm
+            variables = fold_input_norm(variables)
+            model = MLP(out_features=out_dim, fold_input_norm=True)
+            folded = True
+        elif args.model == "CNN-2D":
+            from ..models.csi.cnn_2d import CNN2D, fold_input_norm
+            variables = fold_input_norm(variables)
+            model = CNN2D(out_features=out_dim, fold_input_norm=True)
+            folded = True
 
     dtype = resolve_serving_dtype(args.dtype, args.model)
     quant = resolve_quant(args.quant, args.model)

@@ -74,7 +74,14 @@ class _Stage0Conv(nn.Module):
 
 
 class CNN2D(nn.Module):
+    """``fold_input_norm=True`` (serving): skips norm_0 — pair with
+    ``fold_input_norm(variables)`` below, which folds the eval-mode scalar
+    affine (C=1 input!) into the stage-0 kernel/bias exactly. norm_0
+    materializes an ~830 MB/batch copy of the input at serving batch 256;
+    folding measured **+12.3%** (23,541 -> 26,427 w/s bf16;
+    tools/exp_cnn2d_bnfold.py, BASELINE.md). Training keeps the live BN."""
     out_features: int
+    fold_input_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -84,7 +91,9 @@ class CNN2D(nn.Module):
         stages = [(32, (27, 27), (7, 7)), (64, (15, 15), (3, 3)),
                   (128, (7, 7), (1, 1))]
         for i, (feat, k, s) in enumerate(stages):
-            x = BatchNorm(name=f"norm_{i}")(x, use_running_average=not train)
+            if i > 0 or not self.fold_input_norm:
+                x = BatchNorm(name=f"norm_{i}")(
+                    x, use_running_average=not train)
             if i == 0:
                 x = _Stage0Conv(feat, name=f"conv_{i}")(x)
             else:
@@ -94,3 +103,37 @@ class CNN2D(nn.Module):
         x = BatchNorm(name="norm_3")(x, use_running_average=not train)
         x = jnp.mean(x, axis=(1, 2))
         return Linear(self.out_features, name="head")(x)
+
+
+def fold_input_norm(variables):
+    """Fold CNN2D's eval-mode norm_0 (a SCALAR affine — C=1) into conv_0.
+
+    BN(x) = x*a + c; conv_0(x*a + c) = conv_0'(x) with kernel' = a*kernel
+    and bias' = bias + c * sum(kernel taps). Exact including the
+    space-to-depth zero-pad positions: they only meet structurally-zero
+    taps (see _Stage0Conv), so the constant contribution is c times the
+    original 27x27 tap sum at every output position. Returns variables
+    for ``CNN2D(fold_input_norm=True)``. Measured +12.3% serving
+    (tools/exp_cnn2d_bnfold.py).
+    """
+    import numpy as np
+
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    bn = params.pop("norm_0")["bn"]
+    st = stats.pop("norm_0")["bn"]
+    a = float(bn["scale"][0]) / np.sqrt(float(st["var"][0]) + 1e-5)
+    c = float(bn["bias"][0]) - float(st["mean"][0]) * a
+    k0 = np.asarray(params["conv_0"]["conv"]["kernel"], np.float64)
+    b0 = np.asarray(params["conv_0"]["conv"]["bias"], np.float64)
+    params = dict(params)
+    params["conv_0"] = {"conv": {
+        "kernel": jnp.asarray((k0 * a).astype(np.float32)),
+        "bias": jnp.asarray((b0 + c * k0.sum((0, 1, 2)))
+                            .astype(np.float32)),
+    }}
+    out = {k: v for k, v in variables.items()
+           if k not in ("params", "batch_stats")}
+    out["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return out

@@ -340,3 +340,26 @@ def test_quantized_tree_shards_under_mesh():
     got = np.asarray(jax.jit(
         lambda vv, xx: m.apply(vv, xx, train=False))(vs, xs))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_cnn2d_fold_input_norm_exact():
+    """CNN-2D's scalar norm_0 folds into the space-to-depth stage-0 conv
+    exactly (incl. the s2d zero-pad positions meeting only zero taps).
+    (+12.3% measured on chip — BASELINE.md.)"""
+    from multi_modal_csi_tpu.models.csi.cnn_2d import CNN2D, fold_input_norm
+    x = jax.random.normal(jax.random.PRNGKey(14), (2, 200, 30))
+    m = M.CNN2D(out_features=9)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    v = jax.device_get(v)
+    bn0 = v["batch_stats"]["norm_0"]["bn"]
+    bn0["mean"] = np.full_like(bn0["mean"], 0.21)
+    bn0["var"] = np.full_like(bn0["var"], 0.8)
+    v["params"]["norm_0"]["bn"]["scale"] = np.full_like(
+        v["params"]["norm_0"]["bn"]["scale"], 1.3)
+    ref = np.asarray(m.apply(v, x, train=False))
+    vf = fold_input_norm(v)
+    assert "norm_0" not in vf["params"]
+    mf = CNN2D(out_features=9, fold_input_norm=True)
+    got = np.asarray(mf.apply(vf, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
