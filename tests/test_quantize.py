@@ -363,3 +363,47 @@ def test_cnn2d_fold_input_norm_exact():
     mf = CNN2D(out_features=9, fold_input_norm=True)
     got = np.asarray(mf.apply(vf, x, train=False))
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_s3d_quantized_close():
+    """S3D (a QUANT_DEFAULTS w8a8 model): the ConvBN/SepConv stack through
+    the shared Conv3D wrapper quantizes and stays close at tiny dims."""
+    from multi_modal_csi_tpu.models.video.s3d import S3D
+    x = jax.random.normal(jax.random.PRNGKey(15), (1, 8, 32, 32, 3))
+    m = S3D(out_features=9)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y32 = np.asarray(m.apply(v, x, train=False))
+    qv = qz.quantize_for_serving(m, v, [x], mode="w8a8", train=False)
+    p = _paths(qv["params"])
+    assert sum(1 for k, l in p.items()
+               if l.dtype == jnp.int8) >= 20, "separable convs must hook"
+    yq = np.asarray(m.apply(qv, x, train=False))
+    rel = np.max(np.abs(yq - y32)) / (np.std(y32) + 1e-9)
+    assert rel < 0.6, rel   # 60+ BN layers compound int8 noise; drift
+    # tool measured 7.4% at realistic dims (BASELINE.md)
+
+
+def test_quantized_tree_checkpoint_roundtrip(tmp_path):
+    """quantize.py claims quantized trees are checkpointable: int8 kernels
+    + scale leaves must survive save_components/restore_scenario bit-exactly."""
+    from multi_modal_csi_tpu.core.checkpoint import (restore_scenario,
+                                                     save_components)
+    x = jax.random.normal(jax.random.PRNGKey(16), (4, 1200))
+    m = M.MLP(out_features=9)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    qv = qz.quantize_for_serving(m, v, [x], mode="w8a8", min_size=4096,
+                                 train=False)
+    path = str(tmp_path / "q_ckpt")
+    save_components(path, qv["params"], qv.get("batch_stats"))
+    like_p = jax.tree_util.tree_map(np.zeros_like, qv["params"])
+    like_s = jax.tree_util.tree_map(np.zeros_like, qv["batch_stats"])
+    rp, rs = restore_scenario(like_p, like_s, path, "full")[:2]
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(qv["params"]),
+            jax.tree_util.tree_leaves_with_path(rp)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype, (ka,)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (ka,)
+    y1 = np.asarray(m.apply(qv, x, train=False))
+    y2 = np.asarray(m.apply({"params": rp, "batch_stats": rs}, x,
+                            train=False))
+    np.testing.assert_array_equal(y1, y2)
