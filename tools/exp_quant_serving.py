@@ -12,7 +12,11 @@ move an input-bound model.
 
 Methodology: chained steps inside jit-compiled step fn (output feeds the
 next input), marginal between two trip counts, identical to bench.py /
-tools/bench_bf16_sweep.py.
+tools/bench_bf16_sweep.py. NOTE: runs 1-2 (the BASELINE.md table) used
+the additive 1e-6 carry, which bf16 bit-absorbs (CLAUDE.md gotcha); the
+step below now scales by the bf16-exact (1 + 1/128) so chained inputs
+genuinely differ. Within-run comparisons from the earlier runs remain
+valid (every variant shared the same carry).
 
 Run:  nohup python tools/exp_quant_serving.py > /tmp/exp_quant.log 2>&1 &
 """
@@ -39,9 +43,9 @@ def measure(model, variables, x, label):
     def step(v, xx):
         out = model.apply(v, xx, train=False)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        nxt = xx + (jnp.asarray(1e-6, jnp.float32)
-                    * jnp.mean(leaf).astype(jnp.float32)).astype(xx.dtype)
-        return nxt, out
+        scale = (jnp.float32(1.0 + 1.0 / 128)
+                 + 1e-6 * jnp.mean(leaf).astype(jnp.float32))
+        return xx * scale.astype(xx.dtype), out
 
     def run(n):
         xs = x

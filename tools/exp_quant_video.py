@@ -31,9 +31,10 @@ def measure(model, variables, x, bs, label):
     def step(v, xx):
         out = model.apply(v, xx, train=False)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        nxt = xx + (jnp.asarray(1e-6, jnp.float32)
-                    * jnp.mean(leaf).astype(jnp.float32)).astype(xx.dtype)
-        return nxt, out
+        # bf16-exact multiplicative carry (see exp_quant_serving.py note)
+        scale = (jnp.float32(1.0 + 1.0 / 128)
+                 + 1e-6 * jnp.mean(leaf).astype(jnp.float32))
+        return xx * scale.astype(xx.dtype), out
 
     def run(n):
         xs, out = x, None
