@@ -277,7 +277,7 @@ def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
 # Measured int8-serving winners (tools/exp_quant_serving.py on the real
 # chip, two runs, BASELINE.md int8 section — defaults set only where both
 # runs agree on the direction): compute-bound transformer models win with
-# full int8 MXU ("w8a8": DETR +23% with the MHA-projection hooks,
+# full int8 MXU ("w8a8": DETR ~+12% pooled with the MHA-projection hooks,
 # THAT_ENCODER stable-never-slower); the weight-readback-bound MLP wins
 # with weight-only ("w8", +8-12% — its activation-quantize pass over the
 # 810k-wide input costs more than int8 compute saves); the compute-bound
@@ -286,7 +286,7 @@ def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
 # backbones measured noise-level and default to None so "auto" never
 # trades accuracy for nothing.
 QUANT_DEFAULTS: Dict[str, Optional[str]] = {
-    "DETR": "w8a8",          # +23% within-run after the MHA-projection hooks
+    "DETR": "w8a8",          # ~+12% pooled; wins every measured pairing
     "THAT_ENCODER": "w8a8",  # int8 stable 12.0-12.2k vs bf16's 10.5-12.0k
     "MLP": "w8",             # +8-12% within-run, both runs
     "ResNet": "w8a8",        # +52.5%
