@@ -117,9 +117,10 @@ def fold_input_norm(variables):
     (tools/exp_cnn2d_bnfold.py).
     """
     import numpy as np
+    from flax.core import unfreeze
 
-    params = jax.device_get(variables["params"])
-    stats = jax.device_get(variables["batch_stats"])
+    params = unfreeze(jax.device_get(variables["params"]))
+    stats = unfreeze(jax.device_get(variables["batch_stats"]))
     bn = params.pop("norm_0")["bn"]
     st = stats.pop("norm_0")["bn"]
     a = float(bn["scale"][0]) / np.sqrt(float(st["var"][0]) + 1e-5)

@@ -54,8 +54,9 @@ def fold_input_norm(variables: Dict) -> Dict:
     difference vs the live BN is f32 dot-summation order (tested).
     """
     import numpy as np
+    from flax.core import unfreeze
 
-    params = jax.device_get(variables["params"])
+    params = unfreeze(jax.device_get(variables["params"]))
     stats = jax.device_get(variables["batch_stats"]["input_norm"]["bn"])
     bn = params.pop("input_norm")["bn"]
     gamma = np.asarray(bn["scale"], np.float64)
