@@ -30,13 +30,16 @@ tree IS the signal (the same convention as bf16 serving, where
 are therefore checkpointable, exportable, and sharding-transparent as-is.
 
 Which layers get quantized is decided by DISCOVERY, not tree-shape
-heuristics: hooked layer types (nn/layers.py Linear / Conv1d / Conv2d)
-announce themselves by sowing their input max-abs when the
-``"quant_stats"`` collection is mutable; ``calibrate`` runs batches with it
-mutable and returns the sow paths mapped to kernel paths. A kernel that
-never announced (video backbones' raw ``nn.Conv``, the MultiheadAttention
-packed projections, LSTM gate weights) can never be turned int8, so
-quantization cannot silently corrupt an unhooked layer.
+heuristics: hooked layer types (nn/layers.py Linear / Conv1d / Conv2d /
+the video Conv3D via _ConvCore) announce themselves by sowing their input
+max-abs (and its 99.9th percentile) when the ``"quant_stats"`` collection
+is mutable; MultiheadAttention announces its packed in_proj/out_proj as
+WEIGHT-ONLY (``maybe_mark_weight_only`` — cross-attention feeds two
+inputs, so no per-tensor activation scale applies). ``calibrate`` runs
+batches with the collection mutable and returns sow paths mapped to param
+paths. A param that never announced (raw ``nn.Conv`` patch embeds, LSTM
+gate weights) can never be turned int8, so quantization cannot silently
+corrupt an unhooked layer.
 
 Symmetric quantization (zero-point 0) keeps conv zero-padding exact.
 
