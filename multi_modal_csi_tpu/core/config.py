@@ -278,8 +278,10 @@ def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
 # chip, two runs, BASELINE.md int8 section — defaults set only where both
 # runs agree on the direction): compute-bound transformer models win with
 # full int8 MXU ("w8a8": DETR ~+12% pooled with the MHA-projection hooks,
-# THAT_ENCODER stable-never-slower); the weight-readback-bound MLP wins
-# with weight-only ("w8", +8-12% — its activation-quantize pass over the
+# THAT_ENCODER stable-never-slower); MLP wins with weight-only in its
+# production (folded) serving config ("w8", +22% after the BN fold;
+# neutral before it — the weight readback only dominates once the BN
+# pass is gone; w8a8 always loses, the activation-quantize pass over the
 # 810k-wide input costs more than int8 compute saves); the compute-bound
 # video conv backbones win big with w8a8 (ResNet3D +52.5%, S3D +14.2% —
 # tools/exp_quant_video.py); CNN-2D/THAT and the attention video
@@ -288,7 +290,7 @@ def resolve_serving_dtype(compute_dtype: str, model_name: str) -> str:
 QUANT_DEFAULTS: Dict[str, Optional[str]] = {
     "DETR": "w8a8",          # ~+12% pooled; wins every measured pairing
     "THAT_ENCODER": "w8a8",  # int8 stable 12.0-12.2k vs bf16's 10.5-12.0k
-    "MLP": "w8",             # +8-12% within-run, both runs
+    "MLP": "w8",             # +22% on the folded serving config
     "ResNet": "w8a8",        # +52.5%
     "S3D": "w8a8",           # +14.2%
     # THAT measured +3.9% then -1.4% across runs (tunnel noise): no default.

@@ -8,8 +8,9 @@ Serving: ``fold_input_norm=True`` skips the input BatchNorm; pair it with
 ``fold_input_norm(variables)`` below, which folds the eval-mode affine
 (x*a + c) into layer_0's kernel/bias exactly. The BN materializes a full
 (B, 810000) copy before the first matmul — an ~830 MB/batch HBM round trip
-at serving batch 256 — and folding it measured **+63%** serving throughput
-(98.9k -> 161.4k windows/s int8; tools/exp_mlp_bnfold.py, BASELINE.md).
+at serving batch 256 — and folding it measured **+114%** serving throughput
+(99.2k -> 212.5k windows/s median with w8 + int8 inputs;
+tools/exp_mlp_ladder.py, BASELINE.md stabilized ladder).
 Training always keeps the live BatchNorm.
 """
 
