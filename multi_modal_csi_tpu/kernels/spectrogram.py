@@ -51,11 +51,12 @@ def spectrogram(x: jnp.ndarray, nperseg: int = 16, noverlap: int = 8,
     idx = (np.arange(n_frames)[:, None] * hop + np.arange(nperseg)[None, :])
     frames = x[..., idx]                                  # (..., F, nperseg)
     frames = frames - frames.mean(axis=-1, keepdims=True)  # constant detrend
-    win = jnp.asarray(tukey_window(nperseg, periodic=True), x.dtype)
-    frames = frames * win
+    win_np = tukey_window(nperseg, periodic=True)
+    frames = frames * jnp.asarray(win_np, x.dtype)
     spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
     psd = (spec.real ** 2 + spec.imag ** 2)
-    scale = 1.0 / (fs * float((win ** 2).sum()))
+    # scale from the HOST window so the whole function stays jittable
+    scale = 1.0 / (fs * float((win_np ** 2).sum()))
     psd = psd * scale
     # one-sided doubling for all bins except DC and (even-nfft) Nyquist
     last = psd.shape[-1] - 1

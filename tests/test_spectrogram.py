@@ -29,3 +29,13 @@ def test_strf_features_match_host_pipeline(rng):
     got = np.asarray(strf_features(x))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_strf_features_jittable(rng):
+    """The serving path compiles the whole feature pipeline into ONE
+    program (the host-window `scale` must not trace — spectrogram.py:58)."""
+    import jax
+    x = rng.normal(size=(4, 64, 6)).astype(np.float32)
+    got = np.asarray(jax.jit(strf_features)(x))
+    np.testing.assert_allclose(got, spectrogram_features(x),
+                               rtol=2e-4, atol=1e-6)
