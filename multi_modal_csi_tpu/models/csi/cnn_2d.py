@@ -66,10 +66,14 @@ class _Stage0Conv(nn.Module):
         k = jnp.pad(kernel[:, :, 0, :], ((0, 1), (0, 1), (0, 0)))
         k = k.reshape(4, 7, 4, 7, -1).transpose(0, 2, 1, 3, 4)
         k = k.reshape(4, 4, 49, -1).astype(xr.dtype)
+        # no preferred_element_type: with bf16 operands it makes the output
+        # f32, and conv_general_dilated's TRANSPOSE rule then pairs the f32
+        # cotangent with a bf16 operand and rejects the mixed dtypes — bf16
+        # training crashed on exactly this (r3). Output in operand dtype,
+        # like every _ConvCore conv; the MXU still accumulates f32.
         y = jax.lax.conv_general_dilated(
             xr, k, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return (y + bias).astype(x.dtype)
 
 

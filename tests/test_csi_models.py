@@ -183,6 +183,40 @@ def test_cnn2d_stage0_space_to_depth_equivalence(rng):
                                    atol=2e-5)
 
 
+def test_cnn2d_bf16_train_grads(rng):
+    """bf16 TRAINING through the space-to-depth stage-0 conv must
+    differentiate: with preferred_element_type=f32 the conv transpose rule
+    paired an f32 cotangent with bf16 operands and raised (r3 crash in
+    tools/bench_training.py). Guards the whole bf16 train-step path for
+    CNN-2D."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.losses.basic import bce_with_logits
+    from multi_modal_csi_tpu.models.csi.cnn_2d import CNN2D
+    model = CNN2D(out_features=9)
+    # T=300 is the smallest round size where every conv stage stays
+    # non-empty (T=100 leaves stage 1 a 0-size output -> NaN mean)
+    x = rng.normal(size=(4, 300, 270)).astype(np.float32)
+    y = (rng.random(size=(4, 9)) < 0.3).astype(np.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x[:2], train=False)
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+    pb, bs = cast(v["params"]), v["batch_stats"]
+    xb, yb = jnp.asarray(x, jnp.bfloat16), jnp.asarray(y)
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": bs}, xb, train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"])
+        return bce_with_logits(out, yb, 6.0)
+
+    loss, grads = jax.value_and_grad(loss_fn)(pb)
+    assert np.isfinite(float(loss))
+    assert all(bool(jnp.isfinite(a).all())
+               for a in jax.tree_util.tree_leaves(grads))
+
+
 def test_that_bf16_serving_close_to_f32(rng):
     """bf16 serving (params cast, flash attention in bf16 with f32 softmax
     accumulation) must stay close to the f32 forward — guards the serving
