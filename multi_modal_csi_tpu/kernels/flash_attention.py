@@ -208,9 +208,16 @@ def _plain_bwd(batch_block, interpret, res, do):
     nk = k.shape[1]
     item = jnp.dtype(q.dtype).itemsize
     sub = 8 if item == 4 else 16
-    per_b = (h * _pad_to(d, sub) * 3
-             * (_pad_to(nk, 128) + _pad_to(nq, 128)) * item)
-    temps = 3 * _pad_to(nq, 8) * _pad_to(nk, 128) * 4
+    # VMEM per batch row: inputs q/do (Nq) + k/v (Nk) at the INPUT itemsize,
+    # outputs dq (Nq) + dk/dv (Nk) ALWAYS f32 (4 bytes, sublane 8). The
+    # previous formula costed the outputs at the input itemsize, which
+    # under-budgeted bf16 by ~2x and Mosaic stack-OOMed at THAT_ENCODER's
+    # left-stream shape (bf16 (64, 10, 27, 150): 17.5M vs the 16M scoped
+    # limit — observed r3 while f32, correctly shrunk to bb=4, compiled).
+    nq_p, nk_p = _pad_to(nq, 128), _pad_to(nk, 128)
+    per_b = (h * _pad_to(d, sub) * 2 * (nq_p + nk_p) * item
+             + h * _pad_to(d, 8) * (nq_p + 2 * nk_p) * 4)
+    temps = 3 * _pad_to(nq, 8) * nk_p * 4
     budget = 12 * 1024 * 1024
     bb = batch_block
     while bb > 1 and bb * per_b + temps > budget:
@@ -218,6 +225,12 @@ def _plain_bwd(batch_block, interpret, res, do):
     while b % bb:
         bb //= 2
     bb = max(bb, 1)
+    if bb * per_b + temps > budget:
+        # a single batch row would still overflow scoped VMEM — take the
+        # XLA oracle's VJP (same math, unfused) instead of risking the
+        # Mosaic stack OOM; grads are identical up to f32 summation order
+        _, vjp = jax.vjp(flash_attention_reference, q, k, v)
+        return vjp(do)
     scale = 1.0 / math.sqrt(d)
 
     qt = q.transpose(0, 2, 3, 1)                 # (B, H, D, Nq)

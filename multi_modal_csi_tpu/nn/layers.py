@@ -22,6 +22,57 @@ from ..core import quantize as _quant
 from ..kernels.flash_attention import _on_tpu, flash_resolved
 
 
+@jax.custom_vjp
+def _mp_dot_bf16(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _mp_dot_bf16_fwd(x, w):
+    return _mp_dot_bf16(x, w), (x, w)
+
+
+def _mp_dot_bf16_bwd(res, g):
+    x, w = res
+    g = g.astype(w.dtype)
+    dx = jnp.dot(g, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    x2 = x.reshape(-1, x.shape[-1])
+    g2 = g.reshape(-1, g.shape[-1])
+    dw = jnp.dot(x2.T, g2, preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx, dw
+
+
+_mp_dot_bf16.defvjp(_mp_dot_bf16_fwd, _mp_dot_bf16_bwd)
+
+
+def mp_dot(x, w):
+    """Mixed-precision matmul: f32 accumulation, bf16-native BACKWARD.
+
+    Forward is always ``jnp.dot(x, w, preferred_element_type=f32)``. The
+    default VJP of that dot is a bf16-training footgun measured on this
+    backend (BASELINE.md r3): the f32 cotangent flowing out of the
+    f32-accumulated product forces BOTH backward matmuls to run as
+    f32xbf16 dots, with f32 CONVERTs of the bf16 operands materialized to
+    feed them. The custom VJP rounds the cotangent to bf16 first (the
+    standard mixed-precision recipe — torch.amp and cuDNN do exactly
+    this), so dgrad/wgrad are bf16 MXU dots with f32 accumulation and no
+    operand-sized converts. Grads land in the param dtype (bf16) either
+    way, so the rounding changes nothing downstream.
+
+    Measured effect (tools/bench_training.py, bs64 full step): CLSTM bf16
+    16.36 -> 9.16 ms — the scan's per-step dots stop paying convert +
+    f32-dot costs T times. MLP bf16 is NOT rescued (19.1 ms vs 13.8 f32
+    before and after): its regression is not the backward-dot dtype —
+    BASELINE.md records bf16 as a per-model training choice, not a global
+    one.
+
+    Engages only when BOTH operands are bf16; the f32 path is the stock
+    dot, bit-identical to before (torch train-parity tests run f32).
+    """
+    if x.dtype == jnp.bfloat16 and w.dtype == jnp.bfloat16:
+        return _mp_dot_bf16(x, w)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 class Linear(nn.Module):
     """Dense layer with torch-style init (optionally xavier weight).
 
@@ -46,9 +97,8 @@ class Linear(nn.Module):
             y = _quant.dense_forward(self, x, kernel)
         else:
             _quant.maybe_sow_amax(self, x)
-            y = jnp.dot(x.astype(self.dtype or x.dtype),
-                        kernel.astype(self.dtype or kernel.dtype),
-                        preferred_element_type=jnp.float32)
+            y = mp_dot(x.astype(self.dtype or x.dtype),
+                       kernel.astype(self.dtype or kernel.dtype))
         if self.use_bias:
             bias = self.param("bias", torch_bias(in_features), (self.features,))
             y = y + bias
@@ -319,8 +369,7 @@ class MultiheadAttention(nn.Module):
 
         def proj(x, w, b, scale):
             if scale is None:
-                return jnp.dot(x, w,
-                               preferred_element_type=jnp.float32) + b
+                return mp_dot(x, w) + b
             y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
             return y * scale + b
@@ -468,8 +517,7 @@ class LSTM(nn.Module):
 
             def step(carry, x_t):
                 h_t, c_t = carry
-                gates = (jnp.dot(x_t, w_ih, preferred_element_type=jnp.float32)
-                         + jnp.dot(h_t, w_hh, preferred_element_type=jnp.float32)
+                gates = (mp_dot(x_t, w_ih) + mp_dot(h_t, w_hh)
                          + b_ih + b_hh)
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
                 i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
