@@ -60,10 +60,10 @@ def mp_dot(x, w):
 
     Measured effect (tools/bench_training.py, bs64 full step): CLSTM bf16
     16.36 -> 9.16 ms — the scan's per-step dots stop paying convert +
-    f32-dot costs T times. MLP bf16 is NOT rescued (19.1 ms vs 13.8 f32
-    before and after): its regression is not the backward-dot dtype —
-    BASELINE.md records bf16 as a per-model training choice, not a global
-    one.
+    f32-dot costs T times. MLP's bf16 regression was a SEPARATE pathology
+    (the input BatchNorm's fused bf16 stats reduce — see _TorchBNCore's
+    barrier and BASELINE.md's "MLP bf16 training post-mortem"); with both
+    fixes MLP bf16 trains at 9.2 ms vs 13.8 f32.
 
     Engages only when BOTH operands are bf16; the f32 path is the stock
     dot, bit-identical to before (torch train-parity tests run f32).
@@ -254,12 +254,28 @@ class _TorchBNCore(nn.Module):
                                 lambda: jnp.zeros((features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
+        xf = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
             n = math.prod(x.shape[a] for a in axes)
-            xf = x.astype(jnp.float32)
+            if x.dtype != jnp.float32 and x.ndim == 2:
+                # Flat (N, C) packed sub-32-bit inputs (BatchNorm1d over
+                # features, the MLP/SSL-head case): XLA fuses the bf16 load
+                # + convert into the batch-axis stats reduce, and with a
+                # huge lane dim that fusion runs ~15 GB/s on this backend —
+                # MLP bf16 training's convert_reduce_fusion was 13.9 of the
+                # 19.2 ms step. Materializing the f32 convert first (one
+                # extra HBM round trip) restores full-bandwidth reduction
+                # (2.64 -> 0.72 ms isolated; MLP step 19.1 -> 9.2 ms, SSL
+                # 14.7 -> 11.3). Gated to ndim == 2: on (B, L, C) conv
+                # activations the fused reduce was never pathological, and
+                # the barrier only adds a materialized f32 copy per stage
+                # BN (CNN-1D measured 8.2-9.6 ms with it vs 5.5-7.6
+                # without, run spread included). f32 inputs keep the stock
+                # fusion. BASELINE.md r3 "MLP bf16 training post-mortem".
+                xf = jax.lax.optimization_barrier(xf)
             mean = jnp.mean(xf, axis=axes)
             # E[x^2] - E[x]^2, like flax/torch batch stats; under a
             # batch-sharded mesh the means are global (GSPMD inserts the
@@ -271,7 +287,7 @@ class _TorchBNCore(nn.Module):
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return y.astype(jnp.result_type(x.dtype, scale.dtype))
 
