@@ -260,7 +260,7 @@ class _TorchBNCore(nn.Module):
         else:
             axes = tuple(range(x.ndim - 1))
             n = math.prod(x.shape[a] for a in axes)
-            if x.dtype != jnp.float32 and x.ndim == 2:
+            if x.dtype != jnp.float32 and (x.ndim == 2 or x.shape[-1] == 1):
                 # Flat (N, C) packed sub-32-bit inputs (BatchNorm1d over
                 # features, the MLP/SSL-head case): XLA fuses the bf16 load
                 # + convert into the batch-axis stats reduce, and with a
@@ -269,12 +269,17 @@ class _TorchBNCore(nn.Module):
                 # 19.2 ms step. Materializing the f32 convert first (one
                 # extra HBM round trip) restores full-bandwidth reduction
                 # (2.64 -> 0.72 ms isolated; MLP step 19.1 -> 9.2 ms, SSL
-                # 14.7 -> 11.3). Gated to ndim == 2: on (B, L, C) conv
-                # activations the fused reduce was never pathological, and
-                # the barrier only adds a materialized f32 copy per stage
-                # BN (CNN-1D measured 8.2-9.6 ms with it vs 5.5-7.6
-                # without, run spread included). f32 inputs keep the stock
-                # fusion. BASELINE.md r3 "MLP bf16 training post-mortem".
+                # 14.7 -> 11.3). Also engaged for C == 1 (CNN-2D's scalar
+                # norm_0 over the raw (B, 3000, 270, 1) window — its
+                # convert_reduce_fusion traced at 2.84 ms/step; the full-
+                # step gain is only ~0.5 ms because most of that fusion
+                # overlapped other work: 22.6 -> 22.2 ms). NOT for
+                # multi-channel (B, L, C) conv activations: there the
+                # fused reduce was never pathological, and the barrier
+                # only adds a materialized f32 copy per stage BN (CNN-1D
+                # measured 8.2-9.6 ms with it vs 5.5-7.6 without, run
+                # spread included). f32 inputs keep the stock fusion.
+                # BASELINE.md r3 "MLP bf16 training post-mortem".
                 xf = jax.lax.optimization_barrier(xf)
             mean = jnp.mean(xf, axis=axes)
             # E[x^2] - E[x]^2, like flax/torch batch stats; under a
