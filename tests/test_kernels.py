@@ -166,3 +166,45 @@ def test_flash_attention_trainable_grads(rng):
             scale = float(jnp.max(jnp.abs(w))) + 1e-9
             assert float(jnp.max(jnp.abs(a - w))) / scale < 1e-5, \
                 (name, (b, nq, nk, h, d))
+
+
+def test_mp_dot_bf16_backward_matches_stock_vjp(rng):
+    """mp_dot's custom bf16 VJP (cotangent rounded to bf16 before
+    dgrad/wgrad — nn/layers.py) must match the stock dot's VJP up to one
+    bf16 rounding of the cotangent, and be BIT-identical at f32.
+
+    Guards the r3 mixed-precision backward (CLSTM bf16 16.4 -> 9.2 ms):
+    the torch train-parity suite runs f32, so without this the bf16
+    gradient path would be perf-tested but never numerics-tested."""
+    from multi_modal_csi_tpu.nn.layers import mp_dot
+
+    x32 = rng.normal(size=(6, 5, 48)).astype(np.float32)
+    w32 = rng.normal(size=(48, 32)).astype(np.float32)
+
+    def loss_mp(x, w):
+        return jnp.sum(mp_dot(x, w) ** 2)
+
+    def loss_stock(x, w):
+        return jnp.sum(jnp.dot(
+            x, w, preferred_element_type=jnp.float32) ** 2)
+
+    # f32: custom path must not engage -> bit-identical grads
+    gx_mp, gw_mp = jax.grad(loss_mp, argnums=(0, 1))(x32, w32)
+    gx_st, gw_st = jax.grad(loss_stock, argnums=(0, 1))(x32, w32)
+    np.testing.assert_array_equal(np.asarray(gx_mp), np.asarray(gx_st))
+    np.testing.assert_array_equal(np.asarray(gw_mp), np.asarray(gw_st))
+
+    # bf16: grads land in bf16 either way; the only difference allowed is
+    # the cotangent's bf16 rounding, so compare against the stock VJP with
+    # grads cast to bf16 at a tolerance of a few bf16 ulps
+    x16, w16 = jnp.asarray(x32, jnp.bfloat16), jnp.asarray(w32, jnp.bfloat16)
+    gx16, gw16 = jax.grad(loss_mp, argnums=(0, 1))(x16, w16)
+    assert gx16.dtype == jnp.bfloat16 and gw16.dtype == jnp.bfloat16
+    gx_ref, gw_ref = jax.grad(loss_stock, argnums=(0, 1))(x16, w16)
+    for got, ref in ((gx16, gx_ref), (gw16, gw_ref)):
+        got = np.asarray(got, np.float32)
+        ref = np.asarray(ref, np.float32)
+        # per-element relative bounds blow up where the reference grad
+        # cancels to ~0, so bound the error against the tensor's scale
+        # (observed max: ~2 bf16 ulps of the largest gradient)
+        assert np.max(np.abs(got - ref)) < 0.02 * np.max(np.abs(ref))
