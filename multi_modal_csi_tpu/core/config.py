@@ -146,6 +146,13 @@ class Config:
     # for Swin/MViT whose attention gains nothing from bf16 at serving
     # batch sizes) — see resolve_serving_dtype.
     compute_dtype: str = "float32"
+    # numerics for TRAINING: "float32" (default) is the reference's exact
+    # configuration and what every parity proof runs; "bfloat16" is the
+    # measured throughput configuration (BASELINE.md r3 training tables:
+    # wins or ties every CSI family after the mixed-precision fixes —
+    # params + Adam moments in bf16, f32 MXU accumulation, f32 BN running
+    # stats). Orthogonal to compute_dtype (the serving knob).
+    train_dtype: str = "float32"
 
     # ------------------------------------------------------------------ #
     def to_dict(self) -> Dict[str, Any]:

@@ -325,7 +325,8 @@ def run_csi_model(cfg: Config,
                      min_lr_ratio=cfg.nn.scheduler.min_lr_ratio,
                      batch_axis=spec.batch_axis, writer=writer,
                      init_variables=init_variables, tx=tx,
-                     sharding=sharding, fsdp=cfg.mesh.fsdp)
+                     sharding=sharding, fsdp=cfg.mesh.fsdp,
+                     train_dtype=cfg.train_dtype)
         t1 = time.time()
 
         if cfg.save_model:

@@ -62,10 +62,18 @@ def _init_variables(model, rng, example_x):
 
 
 def _train_step_body(model, tx: optax.GradientTransformation,
-                     loss_fn: Callable, augment: bool = True):
-    """The (unjitted) train-step body shared by the jit and AOT paths."""
+                     loss_fn: Callable, augment: bool = True,
+                     batch_dtype=None):
+    """The (unjitted) train-step body shared by the jit and AOT paths.
+
+    `batch_dtype` casts the uploaded batch in-graph (first op, fuses into
+    the augmentation) — the bf16-training path: params arrive already cast
+    by `fit(train_dtype=...)`, batches stream f32 from the host pipeline.
+    """
 
     def step(params, batch_stats, opt_state, bx, by, rng):
+        if batch_dtype is not None:
+            bx = bx.astype(batch_dtype)
         aug_rng, drop_rng = jax.random.split(rng)
         if augment:
             # plain jnp chain: XLA fuses noise+scale+mask into one pass and
@@ -91,16 +99,18 @@ def _train_step_body(model, tx: optax.GradientTransformation,
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    loss_fn: Callable, augment: bool = True):
+                    loss_fn: Callable, augment: bool = True,
+                    batch_dtype=None):
     """Single compiled train step with donated state."""
-    return jax.jit(_train_step_body(model, tx, loss_fn, augment=augment),
+    return jax.jit(_train_step_body(model, tx, loss_fn, augment=augment,
+                                    batch_dtype=batch_dtype),
                    donate_argnums=(0, 1, 2))
 
 
 def aot_train_step(model, tx: optax.GradientTransformation,
                    loss_fn: Callable, params, batch_stats, opt_state,
                    batch_shapes, rng_example, *, augment: bool = True,
-                   sharding=None, fsdp: bool = False):
+                   sharding=None, fsdp: bool = False, batch_dtype=None):
     """AOT-compile the train step with AUTO layouts; ONE compile total.
 
     The plain jitted step compiles up to THREE times on TPU: the first call
@@ -119,7 +129,8 @@ def aot_train_step(model, tx: optax.GradientTransformation,
     """
     from jax.experimental.layout import Format, Layout
 
-    step = _train_step_body(model, tx, loss_fn, augment=augment)
+    step = _train_step_body(model, tx, loss_fn, augment=augment,
+                            batch_dtype=batch_dtype)
     auto = Format(Layout.AUTO)
     bx_s, by_s = batch_shapes
 
@@ -256,13 +267,24 @@ def fit(model,
         tx: Optional[optax.GradientTransformation] = None,
         eval_chunk: int = 512,
         checkpoint_dir: Optional[str] = None,
-        checkpoint_every: int = 0) -> FitResult:
+        checkpoint_every: int = 0,
+        train_dtype: Optional[str] = None) -> FitResult:
     """Train `model` and return the best weights by the reference's rule.
 
     `mode` feeds performance_metrics (baseline | multi_head |
     count_classification | count_classification_withConstrain). Target
     transforms (count summing, flattening) are the caller's responsibility —
     they are dataset-level, not step-level.
+
+    `train_dtype="bfloat16"` is the measured throughput configuration
+    (BASELINE.md r3 training tables: bf16 wins or ties every CSI family
+    after the mixed-precision fixes — MLP +51%, ABLSTM +32%, CLSTM +22%):
+    params and optimizer moments live in bf16 (f32 MXU accumulation via
+    mp_dot), batches cast in-graph, BatchNorm running stats stay f32, and
+    in-loop validation runs the same bf16 weights. Accuracy-parity runs
+    keep the default f32 — exactly the reference's numerics. Checkpoints
+    written by a bf16 run restore only into a bf16 run (the dtype is part
+    of the tree).
     """
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
@@ -286,6 +308,16 @@ def fit(model,
                                               x_train[:min(2, n)])
     else:
         params, batch_stats = init_variables
+    batch_dtype = None
+    if train_dtype in ("bfloat16", jnp.bfloat16):
+        batch_dtype = jnp.bfloat16
+        # params + moments in bf16 (tx.init below inherits the dtype);
+        # BatchNorm running stats are created f32 and stay f32
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == jnp.float32 else a, params)
+    elif train_dtype not in (None, "float32", jnp.float32):
+        raise ValueError(f"unsupported train_dtype {train_dtype!r}")
     opt_state = tx.init(params)
 
     forward = make_eval_fn(model)
@@ -329,12 +361,14 @@ def fit(model,
         step_fn, (params, batch_stats, opt_state), put_batch, put_rng = \
             aot_train_step(model, tx, loss_fn, params, batch_stats, opt_state,
                            (bx_s, by_s), probe, augment=augment,
-                           sharding=sharding, fsdp=fsdp)
+                           sharding=sharding, fsdp=fsdp,
+                           batch_dtype=batch_dtype)
     except Exception as e:
         import warnings
         warnings.warn(f"AOT train-step lowering failed ({e!r}); falling back "
                       "to plain jit (expect layout-churn recompiles on TPU)")
-        step_fn = make_train_step(model, tx, loss_fn, augment=augment)
+        step_fn = make_train_step(model, tx, loss_fn, augment=augment,
+                                  batch_dtype=batch_dtype)
 
     y_valid_np = np.asarray(y_valid)
 
@@ -360,9 +394,11 @@ def fit(model,
             np.asarray(last_out).astype(int),
             var_mode=mode, var_threshold=threshold)
 
-        # full-validation-set evaluation
+        # full-validation-set evaluation (bf16 runs evaluate in bf16 too —
+        # the weights ARE bf16; eval_dataset returns f32 logits)
         logits_valid = eval_dataset(forward, params, batch_stats, x_valid,
-                                    chunk=eval_chunk, batch_axis=batch_axis)
+                                    chunk=eval_chunk, batch_axis=batch_axis,
+                                    dtype=batch_dtype)
         loss_valid = float(loss_fn(jnp.asarray(logits_valid),
                                    jnp.asarray(y_valid_np)))
         valid_metrics = performance_metrics(

@@ -194,3 +194,34 @@ def test_fit_checkpoint_resume_fsdp(tmp_path):
     res2 = fit(model, x, y, x, y, epochs=6, **kwargs)
     assert res2.epochs_ran == 2
     assert res2.history[0]["train_loss"] < res1.history[0]["train_loss"]
+
+
+def test_fit_train_dtype_bf16():
+    """fit(train_dtype="bfloat16") — the measured throughput configuration
+    (BASELINE.md r3 training tables) — must train end to end: params and
+    Adam moments live in bf16, BatchNorm running stats stay f32, batches
+    cast in-graph, in-loop eval runs the bf16 weights, and the model still
+    LEARNS on separable data. f32 default paths are untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    x, y = _synthetic_baseline()
+    model = MLP(out_features=y.shape[-1])
+    res = fit(model, x, y, x, y,
+              loss_fn=lambda o, t: bce_with_logits(o, t, pos_weight=4.0),
+              mode="baseline", lr=5e-3, epochs=20, batch_size=16,
+              seed=39, weight_decay=1e-3, patience=150, augment=False,
+              train_dtype="bfloat16")
+    assert res.epochs_ran == 20
+    leaves = jax.tree_util.tree_leaves(res.best_params)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves)
+    stats = jax.tree_util.tree_leaves(res.best_batch_stats)
+    assert all(l.dtype == jnp.float32 for l in stats)
+    assert res.history[-1]["f1_score"] > res.history[0]["f1_score"]
+    assert np.isfinite(res.history[-1]["train_loss"])
+
+    with pytest.raises(ValueError, match="train_dtype"):
+        fit(model, x, y, x, y,
+            loss_fn=lambda o, t: bce_with_logits(o, t),
+            mode="baseline", lr=1e-3, epochs=1, batch_size=16,
+            seed=0, augment=False, train_dtype="fp8")
