@@ -110,10 +110,14 @@ def _evaluate(forward, params, batch_stats, dataset, threshold, chunk=16,
 def fit_video(model, train_ds, test_ds, *, lr: float,
               epochs: int, batch_size: int, seed: int, threshold: float,
               init_variables=None, verbose: bool = True,
-              num_workers: int = 4):
+              num_workers: int = 4, train_dtype=None):
     """Video engine (video/train.py:19-103): best weights by test accuracy.
 
     train_ds/test_ds: ClipDataset (streaming) or ArrayClips (in-memory).
+    `train_dtype="bfloat16"` is the measured throughput configuration
+    (BASELINE.md video training table: conv backbones +16-24%, MViT +15%
+    after the flash backward; Swin ~neutral) — same dtype placement as
+    the CSI engine's knob (train/loop.py::fit).
     """
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
@@ -125,6 +129,14 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
         batch_stats = variables.get("batch_stats", {})
     else:
         params, batch_stats = init_variables
+    batch_dtype = None
+    if train_dtype in ("bfloat16", jnp.bfloat16):
+        batch_dtype = jnp.bfloat16
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == jnp.float32 else a, params)
+    elif train_dtype not in (None, "float32", jnp.float32):
+        raise ValueError(f"unsupported train_dtype {train_dtype!r}")
     tx = adam_like_torch(lr)
     opt_state = tx.init(params)
 
@@ -143,12 +155,14 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
         rng, probe = jax.random.split(rng)
         step, (params, batch_stats, opt_state), put_batch, put_rng = \
             aot_train_step(model, tx, loss_fn, params, batch_stats,
-                           opt_state, (bx_s, by_s), probe, augment=False)
+                           opt_state, (bx_s, by_s), probe, augment=False,
+                           batch_dtype=batch_dtype)
     except Exception as e:
         import warnings
         warnings.warn(f"AOT video train-step lowering failed ({e!r}); "
                       "falling back to plain jit")
-        step = make_train_step(model, tx, loss_fn, augment=False)
+        step = make_train_step(model, tx, loss_fn, augment=False,
+                               batch_dtype=batch_dtype)
 
     forward = make_eval_fn(model)
     best_acc = 0.0
@@ -175,11 +189,13 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
                 params, batch_stats, opt_state, bx, by, srng)
         train_acc, _, _ = _evaluate(forward, params, batch_stats, train_ds,
                                     threshold, chunk=batch_size,
-                                    num_workers=num_workers)
+                                    num_workers=num_workers,
+                                    dtype=batch_dtype)
         test_acc, _, test_logits = _evaluate(forward, params, batch_stats,
                                              test_ds, threshold,
                                              chunk=batch_size,
-                                             num_workers=num_workers)
+                                             num_workers=num_workers,
+                                             dtype=batch_dtype)
         if verbose:
             print(f"Epoch {epoch}/{epochs} - {time.time() - t0:.3f}s "
                   f"- Loss {float(loss):.6f} - Accuracy {train_acc:.6f} "
@@ -228,7 +244,8 @@ def run_video_model(cfg: Config,
                             lr=cfg.nn.lr, epochs=cfg.nn.epoch,
                             batch_size=cfg.nn.batch_size, seed=r + 39,
                             threshold=cfg.nn.threshold,
-                            init_variables=init_variables)
+                            init_variables=init_variables,
+                            train_dtype=cfg.train_dtype)
         t1 = time.time()
         forward = make_eval_fn(model)
         # final inference — serving path. compute_dtype "auto" consults the

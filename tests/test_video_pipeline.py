@@ -207,3 +207,35 @@ def test_apply_transform_cv2_within_one_lsb_of_torch():
         b = apply_transform(frames, tf, backend="cv2")
         lsb = 1.0 / 255.0 / min(tf.std)
         assert np.abs(a - b).max() <= lsb + 1e-6, name
+
+
+def test_fit_video_train_dtype_bf16():
+    """fit_video(train_dtype="bfloat16") — the measured video throughput
+    configuration (BASELINE.md video training table) — trains end to end
+    with bf16 params/moments, f32 BN running stats, in-graph batch casts,
+    and bf16 in-loop eval; invalid dtypes raise."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_csi_tpu.models import video as V
+    from multi_modal_csi_tpu.runners.video import ArrayClips, fit_video
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(24, 4, 16, 16, 3)).astype(np.float32)
+    y = rng.integers(0, 2, size=(24, 6)).astype(np.int64)
+    train = ArrayClips(x, y)
+    test = ArrayClips(x[:8], y[:8])
+
+    model = V.ResNet3D18(out_features=6)
+    best, best_acc = fit_video(model, train, test, lr=1e-3, epochs=1,
+                               batch_size=8, seed=39, threshold=0.5,
+                               verbose=False, train_dtype="bfloat16")
+    assert 0.0 <= best_acc <= 1.0
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(best[0]))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(best[1]))
+
+    with pytest.raises(ValueError, match="train_dtype"):
+        fit_video(model, train, test, lr=1e-3, epochs=1, batch_size=8,
+                  seed=0, threshold=0.5, verbose=False, train_dtype="fp8")
