@@ -310,3 +310,61 @@ def test_engine_parity_vs_reference_train_loop():
     assert res["per_epoch"][1]["train_loss"] < 2e-2, res
     assert len(res["per_epoch"]) == res["epochs"], res
     assert res["best_epoch"] >= 0, res   # the strict improve rule fired
+
+
+# ---------------------------------------------------------------------------
+# CHECKPOINT IMPORT round-trips (tools/import_torch_csi.py): a randomly
+# initialized reference torch module's state_dict is imported into our flax
+# tree (strict: every key consumed, every leaf filled) and forwards compared
+# — so a reference user's trained .pt keeps working here (docs/MIGRATION.md).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("key", ["MLP", "LSTM", "ABLSTM", "CNN-1D", "CNN-2D",
+                                 "CLSTM", "THAT", "THAT_MULTI_HEAD",
+                                 "THAT_COUNT", "THAT_COUNT_CONSTRAINED",
+                                 "dual_band", "SSL"])
+def test_torch_checkpoint_import(key):
+    from tools.import_torch_csi import check_import
+    assert check_import(key) < 2e-4
+
+
+def test_torch_checkpoint_import_that_encoder():
+    from tools.import_torch_csi import check_import
+    assert check_import("THAT_ENCODER") < 3e-4
+
+
+def test_torch_checkpoint_import_detr():
+    from tools.import_torch_csi import check_import
+    assert check_import("DETR") < 2e-4
+
+
+def test_torch_checkpoint_import_is_strict():
+    """Both strictness directions must raise loudly: an extra checkpoint key
+    and a missing one (which leaves a flax leaf unfilled / take()-fails)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from tools.import_torch_csi import import_state_dict
+    from tools.measure_baseline import load_ref_module
+    from multi_modal_csi_tpu.models.csi.mlp import MLP
+
+    x = jnp.zeros((2, 64))
+    v = MLP(out_features=5).init({"params": jax.random.PRNGKey(0)}, x,
+                                 train=False)
+    sd = load_ref_module("mlp.py").MLP((64,), (5,)).state_dict()
+
+    extra = dict(sd, **{"stray.weight": torch.zeros(1)})
+    with pytest.raises(ValueError, match="unconsumed"):
+        import_state_dict("MLP", extra, v)
+
+    missing = {k: t for k, t in sd.items() if k != "layer_2.bias"}
+    with pytest.raises(KeyError, match="layer_2.bias"):
+        import_state_dict("MLP", missing, v)
+
+    # _orig_mod. prefixes (torch.compile checkpoints) are stripped
+    compiled = {f"_orig_mod.{k}": t for k, t in sd.items()}
+    v2 = import_state_dict("MLP", compiled, v)
+    got = np.asarray(v2["params"]["layer_0"]["kernel"])
+    want = sd["layer_0.weight"].numpy().T
+    np.testing.assert_array_equal(got, want)
