@@ -61,7 +61,9 @@ def main() -> None:
                         "throughput knee, core.config.SERVING_BATCH_DEFAULTS)")
     p.add_argument("--out", required=True)
     p.add_argument("--pretrained", default=None,
-                   help="component checkpoint (core.checkpoint.save_components)")
+                   help="component checkpoint (core.checkpoint."
+                        "save_components), or a reference torch .pt/.pth "
+                        "(imported via core.torch_import)")
     p.add_argument("--dtype", default="auto",
                    help="auto | float32 | bfloat16 (auto = per-model default)")
     p.add_argument("--input-dtype", default="float32",
@@ -131,7 +133,7 @@ def main() -> None:
         from ..core.checkpoint import restore_scenario
         params, batch_stats = restore_scenario(
             variables["params"], variables.get("batch_stats", {}),
-            args.pretrained, "full")
+            args.pretrained, "full", model_key=args.model)
         variables = {"params": params, **({"batch_stats": batch_stats}
                                           if batch_stats else {})}
 

@@ -45,8 +45,32 @@ def load_components(path: str, like: Optional[Dict] = None) -> Dict:
     return serialization.msgpack_restore(data)
 
 
+def _load_torch_checkpoint(path: str, model_key: Optional[str],
+                           params: Any, batch_stats: Any) -> Dict:
+    """A reference torch `.pt`/`.pth` checkpoint, imported strictly into the
+    flax tree structure (core/torch_import.py). Accepts both a bare
+    state_dict and the reference's `{'model_state_dict': ...}` wrapper
+    (inference_only.py:13-15)."""
+    if model_key is None:
+        raise ValueError(
+            f"{path} is a torch checkpoint; pass model_key (the model name, "
+            "e.g. 'DETR') so the importer knows the layout")
+    import torch
+    from .torch_import import import_state_dict
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:             # older torch without weights_only
+        ckpt = torch.load(path, map_location="cpu")
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        ckpt = ckpt["model_state_dict"]
+    return import_state_dict(model_key, ckpt,
+                             {"params": jax.device_get(params),
+                              "batch_stats": jax.device_get(batch_stats or {})})
+
+
 def restore_scenario(params: Any, batch_stats: Any, path: str,
-                     scenario: str = "full") -> Tuple[Any, Any]:
+                     scenario: str = "full",
+                     model_key: Optional[str] = None) -> Tuple[Any, Any]:
     """Selective component restore (reference: load_model_components).
 
     full             -> entire tree restored;
@@ -54,9 +78,15 @@ def restore_scenario(params: Any, batch_stats: Any, path: str,
     feature_encoder  -> feature_extractor AND encoder restored.
     Learning-rate groups / freezing are applied by
     train.transfer.transfer_optimizer using the same scenario string.
+    A `.pt`/`.pth` path is treated as a REFERENCE torch checkpoint and
+    imported via core/torch_import.py (model_key required).
     """
-    saved = load_components(path, like={"params": jax.device_get(params),
-                                        "batch_stats": jax.device_get(batch_stats or {})})
+    if path.endswith((".pt", ".pth")):
+        saved = _load_torch_checkpoint(path, model_key, params, batch_stats)
+        saved.setdefault("batch_stats", {})
+    else:
+        saved = load_components(path, like={"params": jax.device_get(params),
+                                            "batch_stats": jax.device_get(batch_stats or {})})
     if scenario == "full":
         return saved["params"], saved["batch_stats"]
 

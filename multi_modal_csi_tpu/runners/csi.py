@@ -309,7 +309,8 @@ def run_csi_model(cfg: Config,
             params, batch_stats = (
                 v0["params"], v0.get("batch_stats", {}))
             params, batch_stats = restore_scenario(
-                params, batch_stats, cfg.pretrained_path, cfg.transfer_scenario)
+                params, batch_stats, cfg.pretrained_path,
+                cfg.transfer_scenario, model_key=key)
             init_variables = (params, batch_stats)
             tx = transfer_optimizer(params, cfg.nn.lr, cfg.transfer_scenario)
 

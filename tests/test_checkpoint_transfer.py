@@ -98,3 +98,46 @@ def test_run_checkpointer_roundtrip(tmp_path):
     restored = ckpt.restore(like)
     np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
     assert int(restored["step"]) == 7
+
+
+def test_restore_scenario_torch_pt(tmp_path):
+    """A reference torch `.pt` checkpoint (the `{'model_state_dict': ...}`
+    wrapper inference_only.py:13-15 saves) restores through the same
+    restore_scenario entry point, routed via core/torch_import.py."""
+    import torch
+    from multi_modal_csi_tpu.models.csi.mlp import MLP
+
+    F = 64
+    model = MLP(out_features=5)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((2, F)), train=False)
+
+    g = torch.Generator().manual_seed(7)
+    dims = [(256, F), (128, 256), (5, 128)]
+    sd = {"layer_norm.weight": torch.randn(F, generator=g),
+          "layer_norm.bias": torch.randn(F, generator=g),
+          "layer_norm.running_mean": torch.randn(F, generator=g),
+          "layer_norm.running_var": torch.rand(F, generator=g) + 0.5,
+          "layer_norm.num_batches_tracked": torch.tensor(3)}
+    for i, (o, n) in enumerate(dims):
+        sd[f"layer_{i}.weight"] = torch.randn(o, n, generator=g)
+        sd[f"layer_{i}.bias"] = torch.randn(o, generator=g)
+    path = str(tmp_path / "ref_mlp.pt")
+    torch.save({"model_state_dict": sd, "epoch": 12}, path)
+
+    with pytest.raises(ValueError, match="model_key"):
+        restore_scenario(v["params"], v["batch_stats"], path, "full")
+
+    params, stats = restore_scenario(v["params"], v["batch_stats"], path,
+                                     "full", model_key="MLP")
+    np.testing.assert_array_equal(
+        np.asarray(params["layer_1"]["kernel"]),
+        sd["layer_1.weight"].numpy().T)
+    np.testing.assert_array_equal(
+        np.asarray(stats["input_norm"]["bn"]["var"]),
+        sd["layer_norm.running_var"].numpy())
+
+    # the imported tree must run through the model unchanged in structure
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.ones((2, F)), train=False)
+    assert out.shape == (2, 5)
