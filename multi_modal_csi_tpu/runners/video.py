@@ -206,6 +206,59 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
     return best, best_acc
 
 
+_TORCHVISION_ARCH = {
+    "ResNet": "r3d_18", "S3D": "s3d", "Swin-T": "swin3d_t",
+    "Swin-S": "swin3d_s", "MViT-v1": "mvit_v1_b", "MViT-v2": "mvit_v2_s",
+}
+
+
+def _load_video_pretrained(path: str, model_key: str, out_dim: int, v0,
+                           clip_shape):
+    """cfg.pretrained_path for the video runner: a converted `.msgpack`
+    (tools/convert_torchvision.py output) loads directly; a raw torchvision
+    `.pt`/`.pth` state_dict is converted in-process through the same strict
+    converter (reference init sites: video/model/resnet.py:33, s3d.py:33,
+    swin_t.py:34, mvit_v1.py:33-45). MViT pos/rel tables are resized to the
+    configured clip size. The result is shape-checked against the live
+    model's init tree before use."""
+    import jax as _jax
+    if path.endswith((".pt", ".pth")):
+        import torch
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except TypeError:            # older torch without weights_only
+            ckpt = torch.load(path, map_location="cpu")
+        if hasattr(ckpt, "state_dict"):
+            ckpt = ckpt.state_dict()
+        if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+            ckpt = ckpt["model_state_dict"]
+        try:
+            from tools.convert_torchvision import (CONVERTERS,
+                                                   resize_mvit_tables)
+        except ImportError as e:
+            raise ImportError(
+                "converting a raw torchvision checkpoint requires "
+                "tools/convert_torchvision.py (run from a repo checkout, "
+                "or convert offline to .msgpack first)") from e
+        arch = _TORCHVISION_ARCH[model_key]
+        params, stats = CONVERTERS[arch](ckpt, out_dim)
+        if arch.startswith("mvit"):
+            # clip_shape is the (1, T, H, W, 3) example probe
+            params = resize_mvit_tables(params, arch[5:7],
+                                        tuple(clip_shape[1:4]))
+    else:
+        saved = load_components(path, like={
+            "params": v0["params"],
+            "batch_stats": v0.get("batch_stats", {})})
+        params, stats = saved["params"], saved["batch_stats"]
+    shape = lambda t: _jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
+    if shape(params) != shape(v0["params"]):
+        raise ValueError(
+            f"pretrained tree for {model_key} does not match the model's "
+            "init tree (wrong arch, head width, or clip size?)")
+    return params, stats
+
+
 def run_video_model(cfg: Config,
                     data: Optional[Tuple[np.ndarray, ...]] = None
                     ) -> Dict[str, Any]:
@@ -228,10 +281,15 @@ def run_video_model(cfg: Config,
     v0 = model0.init({"params": jax.random.PRNGKey(0)}, ex, train=False)
     result["complexity"] = complexity_report(model0, v0, ex)
 
+    pretrained = None
+    if cfg.pretrained_path:
+        pretrained = _load_video_pretrained(cfg.pretrained_path, cfg.model,
+                                            out_dim, v0, np.shape(ex))
+
     for r in range(cfg.repeat):
         model = VIDEO_MODELS[cfg.model](out_dim)
-        init_variables = None
-        if cfg.path.save_model:
+        init_variables = pretrained
+        if init_variables is None and cfg.path.save_model:
             try:  # warm start (video/model/resnet.py:106)
                 saved = load_components(cfg.path.save_model,
                                         like={"params": v0["params"],
