@@ -130,10 +130,17 @@ def main() -> None:
                            np.zeros((1,) + shape[1:], np.float32),
                            train=False)
     if args.pretrained:
-        from ..core.checkpoint import restore_scenario
-        params, batch_stats = restore_scenario(
-            variables["params"], variables.get("batch_stats", {}),
-            args.pretrained, "full", model_key=args.model)
+        if args.model in VIDEO_MODELS:
+            # raw torchvision .pth or converted .msgpack, strict either way
+            from ..runners.video import load_video_pretrained
+            params, batch_stats = load_video_pretrained(
+                args.pretrained, args.model, out_dim, variables,
+                (1,) + shape[1:])
+        else:
+            from ..core.checkpoint import restore_scenario
+            params, batch_stats = restore_scenario(
+                variables["params"], variables.get("batch_stats", {}),
+                args.pretrained, "full", model_key=args.model)
         variables = {"params": params, **({"batch_stats": batch_stats}
                                           if batch_stats else {})}
 

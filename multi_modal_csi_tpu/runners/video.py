@@ -212,7 +212,7 @@ _TORCHVISION_ARCH = {
 }
 
 
-def _load_video_pretrained(path: str, model_key: str, out_dim: int, v0,
+def load_video_pretrained(path: str, model_key: str, out_dim: int, v0,
                            clip_shape):
     """cfg.pretrained_path for the video runner: a converted `.msgpack`
     (tools/convert_torchvision.py output) loads directly; a raw torchvision
@@ -283,7 +283,7 @@ def run_video_model(cfg: Config,
 
     pretrained = None
     if cfg.pretrained_path:
-        pretrained = _load_video_pretrained(cfg.pretrained_path, cfg.model,
+        pretrained = load_video_pretrained(cfg.pretrained_path, cfg.model,
                                             out_dim, v0, np.shape(ex))
 
     for r in range(cfg.repeat):

@@ -89,14 +89,14 @@ def test_converter_strict_on_missing_keys():
 
 
 def test_video_runner_pretrained_pth(tmp_path):
-    """runners/video.py::_load_video_pretrained: a raw torchvision .pth
+    """runners/video.py::load_video_pretrained: a raw torchvision .pth
     routes through the strict converter in-process (cfg.pretrained_path —
     docs/MIGRATION.md "Checkpoints"), shape-checked against the live init
     tree, with a fresh task head at the configured width."""
     import jax
     import jax.numpy as jnp
     from multi_modal_csi_tpu.models.video import ResNet3D18
-    from multi_modal_csi_tpu.runners.video import _load_video_pretrained
+    from multi_modal_csi_tpu.runners.video import load_video_pretrained
 
     state = _replica("r3d_18").state_dict()
     path = str(tmp_path / "r3d18_kinetics.pth")
@@ -106,7 +106,7 @@ def test_video_runner_pretrained_pth(tmp_path):
     ex = jnp.zeros((1, 8, 64, 64, 3), jnp.float32)
     v0 = model.init({"params": jax.random.PRNGKey(0)}, ex, train=False)
 
-    params, stats = _load_video_pretrained(path, "ResNet", 9, v0, ex.shape)
+    params, stats = load_video_pretrained(path, "ResNet", 9, v0, ex.shape)
 
     # backbone leaves come from the checkpoint (converted layout) — locate
     # the stem conv by shape+value instead of guessing tree names
