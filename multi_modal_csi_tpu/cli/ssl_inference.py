@@ -1,11 +1,14 @@
 """SSL inference-only evaluation (reference: inference_only.py:11-90).
 
-Reloads an SSL checkpoint (saved by runners/ssl.py via core.checkpoint —
-no torch.compile prefix gymnastics needed) and evaluates the online head on
-the full test split.
+Reloads an SSL checkpoint and evaluates the online head on the full test
+split. Accepts our native .msgpack (saved by runners/ssl.py) OR the
+reference's own torch .pt — the `{'model_state_dict': ...}` wrapper and
+`_orig_mod.` compile prefixes inference_only.py:13-21 handles are handled
+the same way by core/torch_import.py.
 
 Usage:
   python -m multi_modal_csi_tpu.cli.ssl_inference --checkpoint ssl.msgpack
+  python -m multi_modal_csi_tpu.cli.ssl_inference --checkpoint ref_ssl.pt
 """
 
 from __future__ import annotations
@@ -31,7 +34,6 @@ def main() -> None:
     args = p.parse_args()
     cfg = load_config(args.config, {"model": "SSL", "task": args.task})
 
-    from ..core.checkpoint import load_components
     from ..models.csi.ssl import SSLModel
     from ..runners.csi import master_split, _layout
     from ..train.loop import eval_dataset
@@ -44,9 +46,14 @@ def main() -> None:
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.asarray(x_te[:2]), jnp.asarray(x_te[:2]),
                            train=False)
-    saved = load_components(args.checkpoint,
-                            like={"params": variables["params"],
-                                  "batch_stats": variables.get("batch_stats", {})})
+    # restore_scenario routes a reference torch .pt (inference_only.py's
+    # own checkpoint format, incl. the _orig_mod. prefixes it strips) through
+    # core/torch_import.py; a native .msgpack loads directly
+    from ..core.checkpoint import restore_scenario
+    params, batch_stats = restore_scenario(
+        variables["params"], variables.get("batch_stats", {}),
+        args.checkpoint, "full", model_key="SSL")
+    saved = {"params": params, "batch_stats": batch_stats}
 
     @jax.jit
     def infer(params, batch_stats, x):
