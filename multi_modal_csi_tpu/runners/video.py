@@ -213,7 +213,7 @@ _TORCHVISION_ARCH = {
 
 
 def load_video_pretrained(path: str, model_key: str, out_dim: int, v0,
-                           clip_shape):
+                          clip_shape):
     """cfg.pretrained_path for the video runner: a converted `.msgpack`
     (tools/convert_torchvision.py output) loads directly; a raw torchvision
     `.pt`/`.pth` state_dict is converted in-process through the same strict
@@ -221,7 +221,6 @@ def load_video_pretrained(path: str, model_key: str, out_dim: int, v0,
     swin_t.py:34, mvit_v1.py:33-45). MViT pos/rel tables are resized to the
     configured clip size. The result is shape-checked against the live
     model's init tree before use."""
-    import jax as _jax
     if path.endswith((".pt", ".pth")):
         import torch
         try:
@@ -251,7 +250,7 @@ def load_video_pretrained(path: str, model_key: str, out_dim: int, v0,
             "params": v0["params"],
             "batch_stats": v0.get("batch_stats", {})})
         params, stats = saved["params"], saved["batch_stats"]
-    shape = lambda t: _jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
+    shape = lambda t: jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
     if shape(params) != shape(v0["params"]):
         raise ValueError(
             f"pretrained tree for {model_key} does not match the model's "
@@ -284,7 +283,7 @@ def run_video_model(cfg: Config,
     pretrained = None
     if cfg.pretrained_path:
         pretrained = load_video_pretrained(cfg.pretrained_path, cfg.model,
-                                            out_dim, v0, np.shape(ex))
+                                           out_dim, v0, np.shape(ex))
 
     for r in range(cfg.repeat):
         model = VIDEO_MODELS[cfg.model](out_dim)
