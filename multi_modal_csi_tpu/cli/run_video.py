@@ -21,7 +21,17 @@ def main() -> None:
     p.add_argument("--repeat", default=None, type=int)
     p.add_argument("--config", default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard batches over the device mesh (data parallel; "
+                        "cfg.mesh.fsdp adds ZeRO-3 state sharding)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() with "
+                        "cloud auto-detection BEFORE backend init "
+                        "(parallel/mesh.py::initialize_distributed)")
     args = p.parse_args()
+    if args.distributed:
+        from ..parallel.mesh import initialize_distributed
+        initialize_distributed()    # env/metadata auto-detection
     overrides = {"model": args.model, "task": args.task,
                  "nn.lr": 1e-4, "nn.epoch": 20, "nn.batch_size": 8,
                  "repeat": args.repeat if args.repeat is not None else 10}
@@ -31,7 +41,7 @@ def main() -> None:
     cfg = load_config(args.config, overrides)
 
     from ..runners.video import run_video_model
-    result = run_video_model(cfg)
+    result = run_video_model(cfg, use_mesh=args.mesh)
     result["model"] = cfg.model
     result["task"] = cfg.task
     if cfg.path.save:

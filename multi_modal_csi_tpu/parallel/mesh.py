@@ -72,6 +72,17 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def config_batch_sharding(cfg) -> Optional[NamedSharding]:
+    """Batch sharding over the config's resolved mesh axes (cfg.mesh —
+    core/config.py::MeshConfig); None on a single device. Shared by both
+    runners' --mesh paths. P('data') with rank 1 shards axis 0 and
+    replicates all trailing dims regardless of batch rank."""
+    if jax.device_count() <= 1:
+        return None
+    axes = cfg.mesh.resolved(jax.device_count())
+    return batch_sharding(create_mesh(axes), 1)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

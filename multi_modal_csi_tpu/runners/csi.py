@@ -228,15 +228,8 @@ def _count_round_metrics(logits: np.ndarray, y_test: np.ndarray) -> dict:
 def _mesh_sharding(cfg: Config):
     """Batch sharding over the config's device mesh (data parallelism); None
     on a single device."""
-    import jax
-    if jax.device_count() <= 1:
-        return None
-    from ..parallel.mesh import batch_sharding, create_mesh
-    axes = cfg.mesh.resolved(jax.device_count())
-    mesh = create_mesh(axes)
-    # P('data') shards axis 0 and replicates all trailing dims regardless of
-    # rank, so the same sharding serves flat (B, F) and (B, T, F) batches
-    return batch_sharding(mesh, 1)
+    from ..parallel.mesh import config_batch_sharding
+    return config_batch_sharding(cfg)
 
 
 def run_csi_model(cfg: Config,

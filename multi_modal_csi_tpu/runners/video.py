@@ -83,12 +83,16 @@ def _eval_rows(n: int, chunk: int) -> list:
 
 
 def _evaluate(forward, params, batch_stats, dataset, threshold, chunk=16,
-              num_workers: int = 4, dtype=None):
+              num_workers: int = 4, dtype=None, sharding=None):
     """Streaming full-dataset eval: every sample scored (tail chunk padded
     on device input, padding sliced off the logits). `dtype` casts input
-    chunks for serving-precision inference (params already cast)."""
+    chunks for serving-precision inference (params already cast).
+    `sharding` places each chunk batch-sharded over the mesh (single-process
+    meshes only; multi-host eval replicates the identical host data, like
+    the CSI engine's eval_dataset)."""
     n = len(dataset)
     chunk = min(chunk, max(1, n))
+    shard_eval = sharding is not None and jax.process_count() == 1
     outs = []
     for bx, _ in prefetch_batches(dataset, _eval_rows(n, chunk),
                                   num_workers=num_workers):
@@ -96,6 +100,8 @@ def _evaluate(forward, params, batch_stats, dataset, threshold, chunk=16,
         bx = pad_to(bx, chunk)
         if dtype is not None:
             bx = jnp.asarray(bx, dtype)
+        if shard_eval:
+            bx = jax.device_put(bx, sharding)
         out = forward(params, batch_stats, bx)
         out = np.asarray(out.astype(jnp.float32) if dtype is not None else out)
         outs.append(out[:size])
@@ -110,7 +116,8 @@ def _evaluate(forward, params, batch_stats, dataset, threshold, chunk=16,
 def fit_video(model, train_ds, test_ds, *, lr: float,
               epochs: int, batch_size: int, seed: int, threshold: float,
               init_variables=None, verbose: bool = True,
-              num_workers: int = 4, train_dtype=None):
+              num_workers: int = 4, train_dtype=None,
+              sharding=None, fsdp: bool = False):
     """Video engine (video/train.py:19-103): best weights by test accuracy.
 
     train_ds/test_ds: ClipDataset (streaming) or ArrayClips (in-memory).
@@ -118,7 +125,17 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
     (BASELINE.md video training table: conv backbones +16-24%, MViT +15%
     after the flash backward; Swin ~neutral) — same dtype placement as
     the CSI engine's knob (train/loop.py::fit).
-    """
+
+    `sharding` (a batch NamedSharding over a 'data' mesh axis) turns the
+    loop data-parallel: batches shard over the mesh, state replicates (or
+    ZeRO-3-shards with `fsdp=True`), GSPMD inserts the gradient psum —
+    identical numerics to the single-device loop (batch stats are global).
+    Multi-host: each process's loader fetches only its host-local rows of
+    every global batch (clips never leave their host), assembled via
+    make_array_from_process_local_data; eval replicates the identical
+    host-side dataset like the CSI engine. batch_size must divide by the
+    'data' axis size. Parallelizes the reference's single-GPU video engine
+    (video/train.py:19-103) — SURVEY §2.5.1."""
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
     init_rng, rng = jax.random.split(rng)
@@ -156,6 +173,7 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
         step, (params, batch_stats, opt_state), put_batch, put_rng = \
             aot_train_step(model, tx, loss_fn, params, batch_stats,
                            opt_state, (bx_s, by_s), probe, augment=False,
+                           sharding=sharding, fsdp=fsdp,
                            batch_dtype=batch_dtype)
     except Exception as e:
         import warnings
@@ -163,6 +181,15 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
                       "falling back to plain jit")
         step = make_train_step(model, tx, loss_fn, augment=False,
                                batch_dtype=batch_dtype)
+
+    # multi-host: every process sees the same seeded index matrix but loads
+    # only ITS rows of each global batch (data/pipeline.py::_local_rows)
+    multihost = sharding is not None and jax.process_count() > 1
+    if multihost:
+        from ..data.pipeline import _local_rows
+        gx_shape = (batch_size,) + ex.shape[1:]
+        gy_shape = (batch_size,) + train_ds.y.shape[1:]
+        row_lo, row_hi = _local_rows(sharding, gx_shape)
 
     forward = make_eval_fn(model)
     best_acc = 0.0
@@ -174,28 +201,38 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
         # module docstring: documented divergence from DataLoader's
         # drop_last=False)
         idx = epoch_batches(n, batch_size, np_rng, skip_last=False)
+        fetch_idx = idx[:, row_lo:row_hi] if multihost else idx
         loss = jnp.zeros(())
-        for bx, by in prefetch_batches(train_ds, idx,
+        for bx, by in prefetch_batches(train_ds, fetch_idx,
                                        num_workers=num_workers):
             rng, srng = jax.random.split(rng)
+            if multihost:
+                bx = jax.make_array_from_process_local_data(
+                    sharding, bx, gx_shape)
+                by = jax.make_array_from_process_local_data(
+                    sharding, by, gy_shape)
+            elif sharding is not None:
+                bx = jax.device_put(bx, sharding)
+                by = jax.device_put(by, sharding)
             if put_batch is not None:
                 # ONE host->device transfer straight into the compiled
                 # formats (jnp.asarray first would upload a second copy)
                 bx, by = put_batch(bx, by)
                 srng = put_rng(srng)
-            else:
+            elif sharding is None:
                 bx, by = jnp.asarray(bx), jnp.asarray(by)
             params, batch_stats, opt_state, loss, _ = step(
                 params, batch_stats, opt_state, bx, by, srng)
         train_acc, _, _ = _evaluate(forward, params, batch_stats, train_ds,
                                     threshold, chunk=batch_size,
                                     num_workers=num_workers,
-                                    dtype=batch_dtype)
+                                    dtype=batch_dtype, sharding=sharding)
         test_acc, _, test_logits = _evaluate(forward, params, batch_stats,
                                              test_ds, threshold,
                                              chunk=batch_size,
                                              num_workers=num_workers,
-                                             dtype=batch_dtype)
+                                             dtype=batch_dtype,
+                                             sharding=sharding)
         if verbose:
             print(f"Epoch {epoch}/{epochs} - {time.time() - t0:.3f}s "
                   f"- Loss {float(loss):.6f} - Accuracy {train_acc:.6f} "
@@ -259,10 +296,18 @@ def load_video_pretrained(path: str, model_key: str, out_dim: int, v0,
 
 
 def run_video_model(cfg: Config,
-                    data: Optional[Tuple[np.ndarray, ...]] = None
-                    ) -> Dict[str, Any]:
+                    data: Optional[Tuple[np.ndarray, ...]] = None,
+                    use_mesh: bool = False) -> Dict[str, Any]:
+    """Run cfg.repeat seeded video experiments. With use_mesh, batches shard
+    over the 'data' axis of the config mesh (cfg.mesh; fsdp via
+    cfg.mesh.fsdp) — the multi-chip execution mode for the framework's
+    heaviest training workload."""
     if cfg.model not in VIDEO_MODELS:
         raise ValueError(f"unknown video model: {cfg.model}")
+    sharding = None
+    if use_mesh:
+        from ..parallel.mesh import config_batch_sharding
+        sharding = config_batch_sharding(cfg)
     if data is None:
         train_ds, test_ds = load_video_data(cfg)
     else:  # in-memory arrays (tests/sweeps): (x_tr, x_te, y_tr, y_te)
@@ -302,7 +347,8 @@ def run_video_model(cfg: Config,
                             batch_size=cfg.nn.batch_size, seed=r + 39,
                             threshold=cfg.nn.threshold,
                             init_variables=init_variables,
-                            train_dtype=cfg.train_dtype)
+                            train_dtype=cfg.train_dtype,
+                            sharding=sharding, fsdp=cfg.mesh.fsdp)
         t1 = time.time()
         forward = make_eval_fn(model)
         # final inference — serving path. compute_dtype "auto" consults the
