@@ -13,12 +13,18 @@ flops x steps/sec / the v5e bf16 peak (197 TFLOP/s).
 
 Methodology (important on relayed/async backends): repeated identical
 executions get result-cached, and block_until_ready can resolve before remote
-compute completes — both fake enormous numbers. This bench therefore:
-  1. chains each iteration's INPUT through the previous OUTPUT (full data
-     dependency — nothing can be elided or cached);
+compute completes — both fake enormous numbers. This bench therefore uses
+tools/bench_lib.py (the shared chained-marginal core):
+  1. chains each iteration's INPUT through the previous OUTPUT with a
+     PROVABLY-DISTINCT carry — a leading slice scaled by the bf16-exact
+     1 + 1/128 (r4 hardening, VERDICT r3 next #2: the old additive
+     `x + 1e-6*mean(out)` bump is bit-absorbed by bf16 after step 1, and
+     the relay was observed result-caching identical-input chains);
   2. FETCHES the final output bytes to host (cannot be faked);
   3. reports the MARGINAL cost per step between a short and a long chain,
-     which cancels the fixed dispatch/fetch round-trip.
+     which cancels the fixed dispatch/fetch round-trip — median of 3 pairs.
+Old-vs-new carry cross-check: tools/exp_carry_switch.py + BASELINE.md
+"carry switch" section (run once at the r4 switch for comparability).
 
 Configuration: batch 256, bfloat16 with f32 MXU accumulation. Baseline:
 the reference's PyTorch-CPU DETR throughput (tools/measure_baseline.py,
@@ -28,9 +34,14 @@ see BASELINE.md). Target (BASELINE.json): >=5x PyTorch-CPU per chip.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tools.bench_lib import chained_rate, make_chain_step  # noqa: E402
 
 # PyTorch-CPU reference throughput (windows/sec) for DETR_MultiUser inference
 # on (3000, 270) float32 windows — tools/measure_baseline.py, BASELINE.md.
@@ -38,25 +49,6 @@ PYTORCH_CPU_BASELINE_WPS = 13.12
 # torch-CPU S3D inference at (45, 224, 224) bs4 — BASELINE.md video table.
 PYTORCH_CPU_BASELINE_S3D_CPS = 0.284
 V5E_BF16_PEAK_FLOPS = 197e12
-
-
-def chained_wps(step, v, x, batch: int, n_short: int = 2,
-                n_long: int = 12) -> float:
-    """Marginal windows/sec between two chained runs (fetch included)."""
-    def run(n):
-        xs = x
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            xs, out = step(v, xs)
-        np.asarray(out)                       # fetch — forces real completion
-        return time.perf_counter() - t0
-
-    xs, out = step(v, x)
-    np.asarray(out)                           # compile + warm fetch path
-    t_short = run(n_short)
-    t_long = run(n_long)
-    return batch * (n_long - n_short) / max(t_long - t_short, 1e-9)
 
 
 def main() -> None:
@@ -76,13 +68,8 @@ def main() -> None:
     variables = jax.tree_util.tree_map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
 
-    @jax.jit
-    def step(v, x):
-        out = model.apply(v, x, train=False)
-        nxt = x + jnp.asarray(1e-6, x.dtype) * jnp.mean(out).astype(x.dtype)
-        return nxt, out
-
-    wps = chained_wps(step, variables, x, batch)
+    step = make_chain_step(lambda v, xs: model.apply(v, xs, train=False))
+    wps, _ = chained_rate(step, variables, x, batch)
 
     # int8 serving path (w8a8 — DETR's measured winner, core.config.
     # QUANT_DEFAULTS / BASELINE.md int8 section). Headline stays bf16 for
@@ -93,7 +80,7 @@ def main() -> None:
         calib = [jnp.asarray(np.asarray(x[:32], np.float32))]
         qv = quantize_for_serving(model, variables, calib, mode="w8a8",
                                   train=False)
-        wps_int8 = chained_wps(step, qv, x, batch)
+        wps_int8, _ = chained_rate(step, qv, x, batch)
     except Exception:
         pass
 
@@ -122,13 +109,8 @@ def main() -> None:
     vv = jax.tree_util.tree_map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, vv)
 
-    @jax.jit
-    def vstep(v, x):
-        out = vmodel.apply(v, x, train=False)
-        nxt = x + jnp.asarray(1e-6, x.dtype) * jnp.mean(out).astype(x.dtype)
-        return nxt, out
-
-    cps = chained_wps(vstep, vv, vx, vbatch)
+    vstep = make_chain_step(lambda v, xs: vmodel.apply(v, xs, train=False))
+    cps, _ = chained_rate(vstep, vv, vx, vbatch)
 
     print(json.dumps({
         "metric": "csi_windows_per_sec_per_chip",

@@ -50,22 +50,36 @@ def _load_torch_checkpoint(path: str, model_key: Optional[str],
     """A reference torch `.pt`/`.pth` checkpoint, imported strictly into the
     flax tree structure (core/torch_import.py). Accepts both a bare
     state_dict and the reference's `{'model_state_dict': ...}` wrapper
-    (inference_only.py:13-15)."""
+    (inference_only.py:13-15). Routing is by extension, but the bytes win:
+    a native msgpack tree saved under a `.pt` name falls back to the
+    msgpack loader instead of dying in torch unpickling (ADVICE r3)."""
+    like = {"params": jax.device_get(params),
+            "batch_stats": jax.device_get(batch_stats or {})}
+    import torch
+    try:
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except TypeError:         # older torch without weights_only
+            ckpt = torch.load(path, map_location="cpu")
+    except Exception as e:
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            return serialization.from_bytes(like, data)
+        except Exception:
+            raise ValueError(
+                f"{path} ends in .pt/.pth (the torch-checkpoint extension "
+                f"contract) but torch.load failed "
+                f"({type(e).__name__}: {e}), and the bytes are not a "
+                "native msgpack tree either") from e
     if model_key is None:
         raise ValueError(
             f"{path} is a torch checkpoint; pass model_key (the model name, "
             "e.g. 'DETR') so the importer knows the layout")
-    import torch
     from .torch_import import import_state_dict
-    try:
-        ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except TypeError:             # older torch without weights_only
-        ckpt = torch.load(path, map_location="cpu")
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
         ckpt = ckpt["model_state_dict"]
-    return import_state_dict(model_key, ckpt,
-                             {"params": jax.device_get(params),
-                              "batch_stats": jax.device_get(batch_stats or {})})
+    return import_state_dict(model_key, ckpt, like)
 
 
 def restore_scenario(params: Any, batch_stats: Any, path: str,

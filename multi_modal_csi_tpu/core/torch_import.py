@@ -72,12 +72,16 @@ class _Ctx:
 
 def normalize_state_dict(sd):
     """torch tensors -> float32 numpy; strip torch.compile/DataParallel
-    prefixes (inference_only.py:17-21 strips `_orig_mod.` the same way)."""
+    prefixes (inference_only.py:17-21 strips `_orig_mod.` the same way).
+    Stripping loops until no prefix matches, so stacked wrappers
+    (`module._orig_mod.*` from DataParallel-around-compile) unwrap too."""
+    prefixes = ("_orig_mod.", "module.")
     out = {}
     for k, v in sd.items():
-        for prefix in ("_orig_mod.", "module."):
-            if k.startswith(prefix):
-                k = k[len(prefix):]
+        while k.startswith(prefixes):
+            for prefix in prefixes:
+                if k.startswith(prefix):
+                    k = k[len(prefix):]
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
         out[k] = np.asarray(v)

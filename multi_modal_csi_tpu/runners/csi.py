@@ -290,6 +290,15 @@ def run_csi_model(cfg: Config,
     v0 = model0.init({"params": jax.random.PRNGKey(0)}, example, train=False)
     result["complexity"] = complexity_report(model0, v0, example)
 
+    # load/import the pretrained checkpoint ONCE (a torch .pt goes through
+    # the full strict importer — repeating that per repeat was pure waste;
+    # ADVICE r3). The restored host-side tree is reused by every repeat.
+    pretrained_variables = None
+    if cfg.pretrained_path:
+        pretrained_variables = restore_scenario(
+            v0["params"], v0.get("batch_stats", {}), cfg.pretrained_path,
+            cfg.transfer_scenario, model_key=key)
+
     repeats = cfg.repeat
     for r in range(repeats):
         seed = r + 39
@@ -298,14 +307,10 @@ def run_csi_model(cfg: Config,
 
         init_variables = None
         tx = None
-        if cfg.pretrained_path:
-            params, batch_stats = (
-                v0["params"], v0.get("batch_stats", {}))
-            params, batch_stats = restore_scenario(
-                params, batch_stats, cfg.pretrained_path,
-                cfg.transfer_scenario, model_key=key)
-            init_variables = (params, batch_stats)
-            tx = transfer_optimizer(params, cfg.nn.lr, cfg.transfer_scenario)
+        if pretrained_variables is not None:
+            init_variables = pretrained_variables
+            tx = transfer_optimizer(pretrained_variables[0], cfg.nn.lr,
+                                    cfg.transfer_scenario)
 
         writer = writer_factory(f"{key}_{r}") if writer_factory else None
         sharding = _mesh_sharding(cfg) if use_mesh else None

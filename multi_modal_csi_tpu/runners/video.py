@@ -292,6 +292,12 @@ def load_video_pretrained(path: str, model_key: str, out_dim: int, v0,
         raise ValueError(
             f"pretrained tree for {model_key} does not match the model's "
             "init tree (wrong arch, head width, or clip size?)")
+    # batch_stats too (ADVICE r3): an unchecked stats mismatch would only
+    # surface later as an opaque flax-apply/jit error
+    if shape(stats) != shape(v0.get("batch_stats", {})):
+        raise ValueError(
+            f"pretrained batch_stats for {model_key} do not match the "
+            "model's init tree (wrong arch, head width, or clip size?)")
     return params, stats
 
 

@@ -1,0 +1,78 @@
+"""The shared chained-marginal core (tools/bench_lib.py) — the property the
+whole measurement methodology rests on: chained inputs are provably distinct
+in bf16 (the r1-r3 additive carry was bit-absorbed after step 1; CLAUDE.md /
+BASELINE.md post-mortems)."""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_lib import (DISTINCT_SCALE, chained_rate,  # noqa: E402
+                             distinct_carry, make_chain_step)
+
+
+def test_scale_is_bf16_exact():
+    assert float(jnp.asarray(DISTINCT_SCALE, jnp.bfloat16)) == DISTINCT_SCALE
+
+
+def test_bf16_chain_distinct_60_steps():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 300, 27)),
+                    jnp.bfloat16)
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(27, 8)),
+                    jnp.bfloat16)
+    step = make_chain_step(lambda vv, xs: jnp.tanh(xs @ vv))
+    xs = x
+    for i in range(60):
+        nxt, _ = step(v, xs)
+        assert not np.array_equal(np.asarray(nxt, np.float32),
+                                  np.asarray(xs, np.float32)), \
+            f"carry absorbed at step {i}"
+        xs = nxt
+    # values stay normal (no overflow/denormal drift over a long chain)
+    assert np.isfinite(np.asarray(xs, np.float32)).all()
+    assert float(jnp.max(jnp.abs(xs))) < 1e4
+
+
+def test_additive_carry_is_absorbed_motivation():
+    """The documented failure the multiplicative carry fixes: the old
+    +1e-6*mean bump rounds to zero in bf16 (inputs identical after step 1)."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64,)), jnp.bfloat16)
+    bumped = x + jnp.asarray(1e-6, jnp.bfloat16) * jnp.asarray(0.3, jnp.bfloat16)
+    assert np.array_equal(np.asarray(x, np.float32),
+                          np.asarray(bumped, np.float32))
+
+
+def test_int8_chain_distinct():
+    x = jnp.asarray(np.random.default_rng(2).integers(-5, 5, size=(4, 300)),
+                    jnp.int8)
+    step = make_chain_step(
+        lambda vv, xs: (xs.astype(jnp.bfloat16) @ vv).sum())
+    xs = x
+    for _ in range(10):
+        nxt, _ = step(jnp.ones((300,), jnp.bfloat16), xs)
+        assert not np.array_equal(np.asarray(nxt), np.asarray(xs))
+        xs = nxt
+
+
+def test_carry_depends_on_output():
+    """The rounded mean(out) term keeps the model output in the dependency
+    chain: a huge output shifts the carry."""
+    x = jnp.ones((2, 8), jnp.bfloat16)
+    small = distinct_carry(x, jnp.zeros((2, 2)))
+    big = distinct_carry(x, jnp.full((2, 2), 2e6))
+    assert not np.array_equal(np.asarray(small, np.float32),
+                              np.asarray(big, np.float32))
+
+
+def test_chained_rate_positive():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 64)),
+                    jnp.bfloat16)
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(64, 8)),
+                    jnp.bfloat16)
+    step = make_chain_step(lambda vv, xs: xs @ vv)
+    med, samples = chained_rate(step, v, x, 4, n_short=2, n_long=6, reps=3)
+    assert med > 0 and len(samples) == 3

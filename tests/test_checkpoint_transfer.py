@@ -141,3 +141,50 @@ def test_restore_scenario_torch_pt(tmp_path):
     out = model.apply({"params": params, "batch_stats": stats},
                       jnp.ones((2, F)), train=False)
     assert out.shape == (2, 5)
+
+
+def test_restore_scenario_msgpack_under_pt_name(tmp_path, detr_variables):
+    """Extension says torch, bytes say msgpack (ADVICE r3): a native tree
+    saved under a .pt name must load via the msgpack fallback, not die in
+    torch unpickling; true garbage gets the extension-contract error."""
+    params, stats = detr_variables
+    path = str(tmp_path / "native_tree.pt")
+    save_components(path, params, stats)
+    p2, s2 = restore_scenario(params, stats, path, "full", model_key="DETR")
+    assert _tree_equal(p2, params)
+
+    bad = str(tmp_path / "garbage.pth")
+    with open(bad, "wb") as f:
+        f.write(b"\x00not a checkpoint of any kind\xff")
+    with pytest.raises(ValueError, match="extension contract"):
+        restore_scenario(params, stats, bad, "full", model_key="DETR")
+
+
+def test_normalize_state_dict_stacked_prefixes():
+    """module._orig_mod.* (DataParallel around torch.compile) unwraps fully
+    (ADVICE r3: single-pass stripping left the inner prefix)."""
+    from multi_modal_csi_tpu.core.torch_import import normalize_state_dict
+    sd = {"module._orig_mod.layer_0.weight": np.ones((2, 2)),
+          "_orig_mod.module.layer_1.bias": np.zeros((2,)),
+          "layer_2.weight": np.ones((2, 2))}
+    out = normalize_state_dict(sd)
+    assert sorted(out) == ["layer_0.weight", "layer_1.bias", "layer_2.weight"]
+
+
+def test_load_video_pretrained_checks_batch_stats(tmp_path):
+    """A stats-tree mismatch must fail loudly at load time (ADVICE r3), not
+    later as an opaque flax apply error."""
+    from multi_modal_csi_tpu.models.video.resnet3d import ResNet3D18
+    from multi_modal_csi_tpu.runners.video import load_video_pretrained
+
+    model = ResNet3D18(out_features=6)
+    x = jnp.zeros((1, 4, 16, 16, 3))
+    v0 = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # corrupt ONE batch-stats leaf shape; params stay correct
+    bad_stats = jax.device_get(v0["batch_stats"])
+    leaf = bad_stats["stem_bn"]["bn"]
+    leaf["mean"] = np.zeros(leaf["mean"].shape[0] + 1, np.float32)
+    path = str(tmp_path / "video.msgpack")
+    save_components(path, v0["params"], bad_stats)
+    with pytest.raises((ValueError, KeyError)):
+        load_video_pretrained(path, "ResNet", 6, v0, x.shape)

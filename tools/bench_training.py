@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -40,6 +39,7 @@ from multi_modal_csi_tpu.losses.matching import HungarianMatchingLoss
 from multi_modal_csi_tpu.models import csi as csi_models
 from multi_modal_csi_tpu.train.loop import (_init_variables, adam_like_torch,
                                             aot_train_step)
+from tools.bench_lib import marginal_step_s  # noqa: E402
 
 BATCH = 64
 
@@ -152,22 +152,6 @@ def build(name: str, dtype):
     opt_state = tx.init(params)
     return model, tx, loss, params, batch_stats, opt_state, \
         jnp.asarray(x, dtype), jnp.asarray(y), out_axis, augment
-
-
-def marginal_step_s(step_once, n_short=3, n_long=43):
-    def run(n):
-        t0 = time.perf_counter()
-        loss = None
-        for i in range(n):
-            loss = step_once(i)
-        float(loss)                            # fetch — forces completion
-        return time.perf_counter() - t0
-
-    float(step_once(0))                        # compile + warm
-    float(step_once(1))
-    t_short = run(n_short)
-    t_long = run(n_long)
-    return (t_long - t_short) / (n_long - n_short)
 
 
 def bench_ssl(dtype):

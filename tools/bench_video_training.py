@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,6 +28,7 @@ import numpy as np
 
 from multi_modal_csi_tpu.losses.basic import bce_with_logits
 from multi_modal_csi_tpu.train.loop import adam_like_torch, aot_train_step
+from tools.bench_lib import marginal_step_s  # noqa: E402
 
 CONFIGS = [
     # (name, ctor, (T, H, W), batch)
@@ -65,21 +65,6 @@ def _cast(tree, dtype):
         and a.dtype == jnp.float32 else a, tree)
 
 
-def marginal_step_s(step_once, n_short=2, n_long=12):
-    def run(n):
-        loss = None
-        t0 = time.perf_counter()
-        for i in range(n):
-            loss = step_once(i)
-        float(loss)
-        return time.perf_counter() - t0
-
-    float(step_once(0))
-    float(step_once(1))
-    t_s, t_l = run(n_short), run(n_long)
-    return (t_l - t_s) / (n_long - n_short)
-
-
 def bench(name, make_model, shape, batch, dtype):
     tag = "bf16" if dtype == jnp.bfloat16 else "f32"
     try:
@@ -112,7 +97,8 @@ def bench(name, make_model, shape, batch, dtype):
             state[0], state[1], state[2] = p, bs, o
             return l
 
-        t = marginal_step_s(step_once)
+        # (2, 12) windows: video steps are 100+ ms, already stable
+        t = marginal_step_s(step_once, n_short=2, n_long=12)
         print(f"{name} [{tag}] train step bs{batch}: {t*1e3:.1f} ms = "
               f"{batch / t:.1f} clips/s", flush=True)
     except Exception as e:  # noqa: BLE001
