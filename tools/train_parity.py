@@ -650,6 +650,97 @@ def train_parity_that_encoder(steps=4, batch=4, T=400, seed=9,
             "param_err_p999": p999}
 
 
+def train_parity_that_encoder_forced(steps=6, batch=4, T=400, seed=9,
+                                     num_decoder_layers=3):
+    """THAT_ENCODER with TEACHER-FORCED matching (VERDICT r3 next #7): both
+    sides use the IDENTITY query->target assignment in every layer at every
+    step, removing the discrete per-layer Hungarian flips from the
+    comparison; the torch side is still the reference's own loss module
+    (that_encoder.py:519-612) with only Hungarian_matching stubbed.
+
+    MEASURED finding (r4): freezing the matching does NOT extend the
+    1e-6-loss window past step 2 — and the perturbation experiment says
+    why: bumping EVERY param by 1e-6 shifts the step-0 loss by 1.2e-3 rel
+    (~1000x one-forward amplification through the 420-token encoder +
+    weight-shared decoder), while bumping a single leaf by 1e-4 shifts
+    nothing to 1e-7. Two frameworks' Adam steps differ per-leaf by
+    ~1e-7..1e-6 after step 1 (rounding), which the model amplifies to the
+    observed ~1e-2 loss divergence at step 2 regardless of matching. The
+    VALUE of the forced variant is therefore diagnostic: with matching
+    frozen, the divergence profile is unchanged from the unforced run —
+    proving the 2-step window is the model's intrinsic f32 sensitivity
+    floor, not a hidden matching-semantics gap. Steps 0-1 pin at 1.3e-6;
+    trained params p999 stays <=1e-3 over all 6 steps."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_csi_tpu.losses.matching import (_matched_ce,
+                                                     class_imbalance_weights)
+    from multi_modal_csi_tpu.models.csi.that_encoder import THATEncoderDETR
+    from multi_modal_csi_tpu.train.schedules import cosine_warmup
+    Q, C = 5, 10
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(size=(steps, batch, T, 270)).astype(np.float32)
+    ys = np.zeros((steps, batch, Q, C), np.float32)
+    classes = rng.integers(0, C, size=(steps, batch, Q))
+    for s in range(steps):
+        for b in range(batch):
+            ys[s, b, np.arange(Q), classes[s, b]] = 1.0
+
+    model = THATEncoderDETR(temp_cross=1.0, num_queries=Q,
+                            num_decoder_layers=num_decoder_layers)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(xs[0]), train=False)
+    ref = load_ref_module("that_encoder.py")
+
+    def make_torch():
+        import torch
+        torch.manual_seed(1234)
+        tm = ref.DETR_MultiUser((T, 270), (54,), temp_cross=1, num_queries=Q)
+        tm.decoder = ref.TransformerDecoder(
+            d_model=270, nhead=6, num_decoder_layers=num_decoder_layers,
+            num_queries=Q, dim_feedforward=2048, temp_cross_attention=1)
+        return tm
+
+    tm = make_torch()
+    transplant_that_encoder(tm, v, num_decoder_layers)
+
+    # flax side: per-layer CE at the FIXED identity assignment (the same
+    # _matched_ce the production loss uses — only the indices are frozen)
+    weight = class_imbalance_weights(C, 0.25)
+
+    def loss_jax(outputs, targets):
+        tgt = jnp.argmax(targets, axis=-1)                     # (B, Q)
+        idx = jnp.broadcast_to(jnp.arange(Q), tgt.shape)
+        final = _matched_ce(outputs[-1], tgt, idx, weight, 0.3)
+        aux = jax.vmap(lambda l: _matched_ce(l, tgt, idx, weight, 0.3))(
+            outputs[:-1])
+        return final + 0.25 * aux.mean()
+
+    # torch side: the reference's own loss with matching stubbed to identity
+    import torch
+    with _cuda_to_noop():
+        loss_torch = ref.HungarianMatchingLoss(
+            cost_class_weight=1.0, aux_loss_weight=0.25,
+            label_smoothing=0.3, class_imbalance_weight=0.25)
+    loss_torch.Hungarian_matching = lambda outputs, targets: [
+        (torch.arange(Q), torch.arange(Q))
+        for _ in range(outputs.shape[0])]
+
+    warmup, total, min_ratio = 2, steps, 0.05
+    schedule = cosine_warmup(LR, warmup, total, min_ratio)
+    losses_j, params, stats = _run_flax(model, v, loss_jax, xs, ys,
+                                        schedule, WD_DETR)
+    losses_t = _run_torch(tm, loss_torch, xs, ys, LR, WD_DETR,
+                          schedule_cfg=(warmup, total, min_ratio))
+    perr, pkey, frac, p999 = _compare_final_params(
+        make_torch, lambda t, vv: transplant_that_encoder(
+            t, vv, num_decoder_layers), tm, params, stats)
+    return {"model": "THAT_ENCODER_FORCED", "losses_jax": losses_j,
+            "losses_torch": losses_t, "param_err": perr,
+            "param_err_key": pkey, "param_frac_above_1e-4": frac,
+            "param_err_p999": p999}
+
+
 def train_parity_that_count(steps=4, batch=8, T=400, seed=10,
                             constrained=False):
     """THAT_COUNT (that_count_pred.py:414-419: SmoothL1 on 9 activity
@@ -770,6 +861,7 @@ ALL = {"mlp": train_parity_mlp, "mlp_cosine": train_parity_mlp_cosine,
        "ssl": train_parity_ssl,
        "that_multi_head": train_parity_that_multi_head,
        "that_encoder": train_parity_that_encoder,
+       "that_encoder_forced": train_parity_that_encoder_forced,
        "cnn2d": train_parity_cnn2d, "ablstm": train_parity_ablstm,
        "clstm": train_parity_clstm,
        "that_count": train_parity_that_count,
