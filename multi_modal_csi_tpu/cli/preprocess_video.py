@@ -26,6 +26,10 @@ def main() -> None:
     p.add_argument("--model", default="Swin-T")
     p.add_argument("--path_data_pre_x", default="dataset/cache")
     p.add_argument("--threads", default=4, type=int)
+    p.add_argument("--backend", default=None, choices=["torch", "cv2"],
+                   help="resize backend: torch = torchvision-exact "
+                        "(default); cv2 = 2.8x faster + scales with "
+                        "--threads, <=1-LSB resize divergence (BASELINE.md)")
     p.add_argument("--check", action="store_true",
                    help="integrity sweep only (video/load_data.py:93-117): "
                         "report clips whose frame count != 90")
@@ -40,7 +44,8 @@ def main() -> None:
     else:
         bad = preprocess_video_dir(args.path_data_x, labels, args.model,
                                    args.path_data_pre_x,
-                                   num_threads=args.threads)
+                                   num_threads=args.threads,
+                                   backend=args.backend)
     for label in bad:
         print(label, "Warning!")
     print("Preprocess Time:", time.time() - t0)

@@ -131,11 +131,17 @@ def apply_transform(frames: np.ndarray, tf: VideoTransform,
 
 def preprocess_video_dir(video_dir: str, labels: Sequence[str], model: str,
                          cache_dir: str, expected_frames: int = 90,
-                         num_threads: int = 4) -> List[str]:
+                         num_threads: int = 4,
+                         backend: Optional[str] = None) -> List[str]:
     """Decode+transform every labeled clip into `cache_dir` (.npy, THWC).
 
     Returns the labels whose frame count differed from `expected_frames`
     (the reference's integrity warning, preprocess.py:63).
+
+    `backend`: "torch" (default when importable) is the torchvision-exact
+    resize; "cv2" is 2.8x faster per clip AND releases the GIL (so
+    num_threads actually scales), at a measured <=1-LSB-per-pixel resize
+    divergence — numbers in BASELINE.md "Video preprocessing throughput".
     """
     os.makedirs(cache_dir, exist_ok=True)
     tf = VIDEO_TRANSFORMS[model]
@@ -146,7 +152,7 @@ def preprocess_video_dir(video_dir: str, labels: Sequence[str], model: str,
         if frames.shape[0] != expected_frames:
             bad.append(label)
         np.save(os.path.join(cache_dir, f"{label}.npy"),
-                apply_transform(frames, tf))
+                apply_transform(frames, tf, backend=backend))
 
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
         list(pool.map(work, labels))
