@@ -55,8 +55,11 @@ def _load_torch_checkpoint(path: str, model_key: Optional[str],
     msgpack loader instead of dying in torch unpickling (ADVICE r3)."""
     like = {"params": jax.device_get(params),
             "batch_stats": jax.device_get(batch_stats or {})}
-    import torch
     try:
+        # torch import INSIDE the try: on a torch-less deployment (the
+        # production runtime is pure JAX) a msgpack tree under a .pt name
+        # must still reach the fallback below, not die on ModuleNotFoundError
+        import torch
         try:
             ckpt = torch.load(path, map_location="cpu", weights_only=True)
         except TypeError:         # older torch without weights_only

@@ -87,6 +87,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_divisor(sharding: NamedSharding) -> int:
+    """How many ways `sharding` splits the batch (axis 0) — device_put
+    requires the batch dim to be a multiple of this, so eval chunks must
+    pad up to it (a 5-clip test set on an 8-device 'data' mesh otherwise
+    crashes the sharded evaluators)."""
+    spec0 = sharding.spec[0] if len(sharding.spec) else None
+    if spec0 is None:
+        return 1
+    axes = spec0 if isinstance(spec0, tuple) else (spec0,)
+    return int(np.prod([sharding.mesh.shape[a] for a in axes]))
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Place arrays with batch-axis sharding on the mesh."""
     out = tuple(jax.device_put(a, batch_sharding(mesh, np.ndim(a)))

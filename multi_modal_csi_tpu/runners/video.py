@@ -44,8 +44,9 @@ from ..data.pipeline import epoch_batches, pad_to
 from ..data.video_io import ArrayClips, ClipDataset, prefetch_batches
 from ..losses.basic import bce_with_logits
 from ..models import video as video_models
-from ..train.loop import (adam_like_torch, aot_train_step,
-                          cast_for_serving, make_eval_fn, make_train_step)
+from ..train.loop import (adam_like_torch, aot_train_step, cast_for_serving,
+                          host_snapshot, host_value, make_eval_fn,
+                          make_train_step)
 from ..utils.complexity import complexity_report
 
 VIDEO_MODELS: Dict[str, Callable[[int], Any]] = {
@@ -93,6 +94,13 @@ def _evaluate(forward, params, batch_stats, dataset, threshold, chunk=16,
     n = len(dataset)
     chunk = min(chunk, max(1, n))
     shard_eval = sharding is not None and jax.process_count() == 1
+    if shard_eval:
+        # device_put needs the batch dim divisible by the data-axis size;
+        # a dataset smaller than batch_size (chunk = min above) would
+        # otherwise crash — round the chunk UP and let pad_to fill it
+        from ..parallel.mesh import batch_divisor
+        div = batch_divisor(sharding)
+        chunk = -(-chunk // div) * div
     outs = []
     for bx, _ in prefetch_batches(dataset, _eval_rows(n, chunk),
                                   num_workers=num_workers):
@@ -103,7 +111,9 @@ def _evaluate(forward, params, batch_stats, dataset, threshold, chunk=16,
         if shard_eval:
             bx = jax.device_put(bx, sharding)
         out = forward(params, batch_stats, bx)
-        out = np.asarray(out.astype(jnp.float32) if dtype is not None else out)
+        # host_value, not np.asarray: multi-host FSDP params make the jit
+        # output non-addressable (train/loop.py::host_value gathers it)
+        out = host_value(out.astype(jnp.float32) if dtype is not None else out)
         outs.append(out[:size])
     logits = np.concatenate(outs, axis=0)
     y_flat = dataset.y
@@ -193,7 +203,9 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
 
     forward = make_eval_fn(model)
     best_acc = 0.0
-    best = (jax.device_get(params), jax.device_get(batch_stats))
+    # host_snapshot, not device_get: FSDP state on a multi-host mesh is not
+    # fully addressable and device_get raises (train/loop.py::host_snapshot)
+    best = (host_snapshot(params), host_snapshot(batch_stats))
     n = len(train_ds)
     for epoch in range(epochs):
         t0 = time.time()
@@ -246,7 +258,7 @@ def fit_video(model, train_ds, test_ds, *, lr: float,
                             "test_acc": float(test_acc)})
         if test_acc > best_acc:
             best_acc = test_acc
-            best = (jax.device_get(params), jax.device_get(batch_stats))
+            best = (host_snapshot(params), host_snapshot(batch_stats))
     return best, best_acc
 
 

@@ -230,7 +230,7 @@ def eval_dataset(forward, params, batch_stats, x: np.ndarray,
         if dtype is not None:
             bx = jnp.asarray(bx, dtype)
         out = forward(params, batch_stats, bx)
-        out = np.asarray(out.astype(jnp.float32) if dtype is not None else out)
+        out = host_value(out.astype(jnp.float32) if dtype is not None else out)
         outs.append(np.take(out, np.arange(size), axis=batch_axis))
     return np.concatenate(outs, axis=batch_axis)
 
@@ -240,6 +240,24 @@ def cast_for_serving(tree, dtype):
     return jax.tree_util.tree_map(
         lambda a: a.astype(dtype)
         if getattr(a, "dtype", None) == jnp.float32 else a, tree)
+
+
+def host_value(a):
+    """np value of a device array that may not be fully addressable
+    (multi-host meshes; ZeRO-3/FSDP state sharded over a process-spanning
+    'data' axis). jax.device_get alone RAISES on non-addressable arrays —
+    which made the engines crash at the first best-weight snapshot under
+    fsdp on a multi-host mesh — so those are all-gathered to a full host
+    copy on every process instead; everything else fetches directly."""
+    if getattr(a, "is_fully_addressable", True):
+        return jax.device_get(a)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
+def host_snapshot(tree):
+    """host_value over a pytree (best-weight capture, checkpoint saves)."""
+    return jax.tree_util.tree_map(host_value, tree)
 
 
 def fit(model,
@@ -324,8 +342,8 @@ def fit(model,
 
     best_f1 = 0.0
     best_ppp = 0.0
-    best_params = jax.device_get(params)
-    best_stats = jax.device_get(batch_stats)
+    best_params = host_snapshot(params)
+    best_stats = host_snapshot(batch_stats)
     best_epoch = -1
     counter = 0
     history: List[Dict[str, float]] = []
@@ -339,9 +357,9 @@ def fit(model,
         ckpt = RunCheckpointer(checkpoint_dir)
         latest = ckpt.latest_step()
         if latest is not None:
-            state = ckpt.restore({"params": jax.device_get(params),
-                                  "batch_stats": jax.device_get(batch_stats),
-                                  "opt_state": jax.device_get(opt_state),
+            state = ckpt.restore({"params": host_snapshot(params),
+                                  "batch_stats": host_snapshot(batch_stats),
+                                  "opt_state": host_snapshot(opt_state),
                                   "epoch": np.int64(0)})
             params = state["params"]
             batch_stats = state["batch_stats"]
@@ -429,22 +447,22 @@ def fit(model,
                 and valid_metrics["perfect_prediction_percentage"] > best_ppp):
             best_f1 = valid_metrics["f1_score"]
             best_ppp = valid_metrics["perfect_prediction_percentage"]
-            best_params = jax.device_get(params)
-            best_stats = jax.device_get(batch_stats)
+            best_params = host_snapshot(params)
+            best_stats = host_snapshot(batch_stats)
             best_epoch = epoch
             counter = 0
         else:
             counter += 1
         if ckpt and (epoch + 1) % checkpoint_every == 0:
-            ckpt.save(epoch, {"params": jax.device_get(params),
-                              "batch_stats": jax.device_get(batch_stats),
-                              "opt_state": jax.device_get(opt_state),
+            ckpt.save(epoch, {"params": host_snapshot(params),
+                              "batch_stats": host_snapshot(batch_stats),
+                              "opt_state": host_snapshot(opt_state),
                               "epoch": np.int64(epoch)})
         if counter >= patience:
             break
 
     if best_epoch < 0:  # never improved: return final weights (SSL engine
-        best_params = jax.device_get(params)   # behavior, train_ssl.py:88-91)
-        best_stats = jax.device_get(batch_stats)
+        best_params = host_snapshot(params)    # behavior, train_ssl.py:88-91)
+        best_stats = host_snapshot(batch_stats)
     return FitResult(best_params, best_stats, best_epoch,
                      len(history), history)

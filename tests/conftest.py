@@ -11,8 +11,16 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"   # the session may pre-set a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU hard-aborts ("Termination timeout ... Exiting to ensure a
+# consistent program state", rendezvous.cc) when the 8 per-device collective
+# threads can't all get scheduled within 40 s — which HAPPENS on this 1-core
+# box whenever another heavy process runs beside the suite. Starvation is
+# recoverable (the log's "Thread is unstuck!" proves it), so stretch the
+# kill timeout instead of dying; the warn at 20 s still surfaces real hangs.
+if "collective_call_terminate_timeout" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -76,3 +76,44 @@ def test_chained_rate_positive():
     step = make_chain_step(lambda vv, xs: xs @ vv)
     med, samples = chained_rate(step, v, x, 4, n_short=2, n_long=6, reps=3)
     assert med > 0 and len(samples) == 3
+
+
+def test_zero_slice_still_distinct():
+    """Multiplication alone leaves exact zeros unchanged (zero-padded
+    batches, one-hot features) — the carry must still produce a distinct
+    next input when the leading slice is all zeros."""
+    x = jnp.zeros((4, 300, 27), jnp.bfloat16)
+    step = make_chain_step(lambda vv, xs: jnp.tanh(xs @ vv))
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(27, 8)),
+                    jnp.bfloat16)
+    xs = x
+    for i in range(5):
+        nxt, _ = step(v, xs)
+        assert not np.array_equal(np.asarray(nxt, np.float32),
+                                  np.asarray(xs, np.float32)), \
+            f"zero slice absorbed the carry at step {i}"
+        xs = nxt
+
+
+def test_chained_rate_never_replays_inputs():
+    """chained_rate must thread ONE chain through warmup and all reps:
+    restarting from the same input replays byte-identical step sequences,
+    the exact pattern the relay result-caches (exp_carry_diag.py)."""
+    seen = []
+
+    def apply_fn(vv, xs):
+        return xs @ vv
+
+    step = make_chain_step(apply_fn)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 64)),
+                    jnp.bfloat16)
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(64, 8)),
+                    jnp.bfloat16)
+
+    def spy_step(vv, xs):
+        seen.append(np.asarray(xs, np.float32).tobytes())
+        return step(vv, xs)
+
+    chained_rate(spy_step, v, x, 4, n_short=2, n_long=6, reps=3)
+    assert len(seen) == len(set(seen)), \
+        "chained_rate re-executed a byte-identical input"

@@ -160,6 +160,21 @@ def test_restore_scenario_msgpack_under_pt_name(tmp_path, detr_variables):
         restore_scenario(params, stats, bad, "full", model_key="DETR")
 
 
+def test_restore_scenario_msgpack_under_pt_torchless(tmp_path, detr_variables,
+                                                     monkeypatch):
+    """The same fallback on a torch-less deployment (production runtime is
+    pure JAX): `import torch` must sit inside the try so ModuleNotFoundError
+    routes a msgpack-under-.pt tree to the msgpack loader instead of dying
+    before the fallback can run."""
+    import sys
+    params, stats = detr_variables
+    path = str(tmp_path / "native_tree_torchless.pt")
+    save_components(path, params, stats)
+    monkeypatch.setitem(sys.modules, "torch", None)  # import torch -> raises
+    p2, _ = restore_scenario(params, stats, path, "full", model_key="DETR")
+    assert _tree_equal(p2, params)
+
+
 def test_normalize_state_dict_stacked_prefixes():
     """module._orig_mod.* (DataParallel around torch.compile) unwraps fully
     (ADVICE r3: single-pass stripping left the inner prefix)."""

@@ -230,7 +230,9 @@ def test_tp_rule_coverage_by_model():
                 if p.endswith("attn/project/kernel")}
         up = {p: s for p, s in mv.items() if p.endswith("mlp_up/kernel")}
         dn = {p: s for p, s in mv.items() if p.endswith("mlp_down/kernel")}
-        assert len(qkv) == len(up) == len(dn) == n_blocks > 0
+        # outp counted too: without it the all(...) below passes vacuously
+        # if the attn out-projection rule stops matching
+        assert len(qkv) == len(outp) == len(up) == len(dn) == n_blocks > 0
         assert all(s == P(None, "model") for s in qkv.values())
         assert all(s == P("model", None) for s in outp.values())
         assert all(s == P(None, "model") for s in up.values())

@@ -85,6 +85,22 @@ def test_fit_video_fsdp_matches_unsharded():
     _tree_close(best_f[0], best_p[0], atol=1e-6)
 
 
+def test_fit_video_sharded_small_dataset():
+    """A test set SMALLER than batch_size and not divisible by the data-axis
+    size must not crash the sharded evaluator: the eval chunk pads up to a
+    device-count multiple (parallel/mesh.py::batch_divisor)."""
+    train, _ = _synth_clips(n=16)
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=(5, 4, 16, 16, 3)).astype(np.float32)
+    ys = (rng.normal(size=(5, 6)) > 0).astype(np.int64)
+    test = ArrayClips(xs, ys)
+    mesh = create_mesh({"data": 8, "model": 1})
+    sharding = batch_sharding(mesh, 1)
+    model = V.ResNet3D18(out_features=6)
+    _, acc = fit_video(model, train, test, sharding=sharding, **_KW)
+    assert 0.0 <= acc <= 1.0
+
+
 def test_run_video_model_use_mesh():
     """The runner's use_mesh path (cli/run_video.py --mesh): config-resolved
     mesh, end-to-end through eval + classification report."""

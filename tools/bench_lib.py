@@ -56,6 +56,13 @@ def distinct_carry(xs, out):
     else:
         patch = sl * jnp.asarray(DISTINCT_SCALE, xs.dtype) \
             + bump.astype(xs.dtype)
+        # Multiplication leaves exact zeros unchanged (zero-padded batches,
+        # one-hot features), which would re-open the identical-input hole:
+        # seed zeros with the bf16-exact 1/128 (bump kept for the out
+        # dependency); from step 2 on they are nonzero and scale normally.
+        patch = jnp.where(sl == 0,
+                          jnp.asarray(1.0 / 128.0, xs.dtype)
+                          + bump.astype(xs.dtype), patch)
     return jax.lax.dynamic_update_slice_in_dim(xs, patch, 0, axis=1)
 
 
@@ -76,18 +83,29 @@ def chained_rate(step, v, x, batch: int, n_short: int = 2, n_long: int = 12,
                  reps: int = 3) -> Tuple[float, List[float]]:
     """Median marginal items/sec over `reps` (short, long) chain pairs.
     The final output of every chain is fetched to host (forces real
-    completion on async/relayed backends)."""
+    completion on async/relayed backends).
+
+    ONE chain is threaded through warmup and every rep — restarting each
+    run from the same input would replay byte-identical step sequences,
+    exactly the repeated-execution pattern the relay is documented to
+    result-cache (exp_carry_diag.py). The multiplicative carry compounds
+    to ~(1+1/128)^n over the whole chain: negligible magnitude drift for
+    any realistic rep count, and timing is shape- not value-dependent."""
+    chain = [x]
 
     def run(n):
-        xs, out = x, None
+        xs, out = chain[0], None
         t0 = time.perf_counter()
         for _ in range(n):
             xs, out = step(v, xs)
         np.asarray(out)
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        chain[0] = xs
+        return dt
 
-    xs, out = step(v, x)
+    xs, out = step(v, chain[0])
     np.asarray(out)                          # compile + warm fetch path
+    chain[0] = xs
     samples = []
     for _ in range(reps):
         t_s, t_l = run(n_short), run(n_long)
