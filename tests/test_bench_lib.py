@@ -117,3 +117,30 @@ def test_chained_rate_never_replays_inputs():
     chained_rate(spy_step, v, x, 4, n_short=2, n_long=6, reps=3)
     assert len(seen) == len(set(seen)), \
         "chained_rate re-executed a byte-identical input"
+
+
+def test_aot_chain_step_single_executable():
+    """aot_chain_step (VERDICT r4 next #8): the compiled object both runs
+    the chain (distinct carry preserved) and reports flops without a second
+    lower/compile."""
+    from tools.bench_lib import aot_chain_step
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 64)),
+                    jnp.bfloat16)
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(64, 8)),
+                    jnp.bfloat16)
+    compiled, flops = aot_chain_step(lambda vv, xs: xs @ vv, v, x)
+    nxt, out = compiled(v, x)
+    assert nxt.shape == x.shape and nxt.dtype == x.dtype
+    assert not np.array_equal(np.asarray(nxt, np.float32),
+                              np.asarray(x, np.float32))
+    # the chained input must be accepted by the same executable
+    nxt2, _ = compiled(v, nxt)
+    assert not np.array_equal(np.asarray(nxt2, np.float32),
+                              np.asarray(nxt, np.float32))
+    # CPU backend exposes a cost model; flops of a 4x64 @ 64x8 matmul > 0
+    assert flops is None or flops > 0
+    # and chained_rate accepts the compiled object directly
+    med, samples = chained_rate(compiled, v, x, 4, n_short=2, n_long=6,
+                                reps=2)
+    assert med > 0 and len(samples) == 2
