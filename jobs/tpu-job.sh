@@ -9,13 +9,22 @@
 
 set -euo pipefail
 
+# DRY_RUN=1: skip staging and echo the experiment command instead of running
+# it (smoke-tested by tests/test_shell_drivers.py). DATA_PATH stays required
+# even in dry runs — forgetting it is the launch error this guard exists for.
+DRY=${DRY_RUN:-0}
+RUN=""
+if [ "$DRY" = "1" ]; then RUN="echo DRY"; fi
+
 WORKDIR=${SLURM_TMPDIR:-$(mktemp -d)}
 SRC=${SRC:-$(pwd)}
 RESULTS=${RESULTS:-$SRC/results}
 
-echo "staging $SRC -> $WORKDIR"
-rsync -a --exclude results --exclude .git "$SRC/" "$WORKDIR/"
-cd "$WORKDIR"
+if [ "$DRY" != "1" ]; then
+  echo "staging $SRC -> $WORKDIR"
+  rsync -a --exclude results --exclude .git "$SRC/" "$WORKDIR/"
+  cd "$WORKDIR"
+fi
 
 # experiment knobs (same env-var set as the reference's config_modifier.py;
 # applied in-process by core/config.py — no preset rewriting needed)
@@ -29,10 +38,12 @@ export ENVIRONMENTS_EXP=${ENVIRONMENTS_EXP:-empty_room}
 export DATA_PATH=${DATA_PATH:?set DATA_PATH to the dataset root}
 
 mkdir -p results
-python -m multi_modal_csi_tpu.cli.run_csi \
+$RUN python -m multi_modal_csi_tpu.cli.run_csi \
     --model "$MODEL_TYPE" --task "${TASK:-activity}" \
     --repeat "${REPEAT:-8}"
 
-mkdir -p "$RESULTS"
-rsync -a results/ "$RESULTS/"
-echo "results copied to $RESULTS"
+if [ "$DRY" != "1" ]; then
+  mkdir -p "$RESULTS"
+  rsync -a results/ "$RESULTS/"
+  echo "results copied to $RESULTS"
+fi

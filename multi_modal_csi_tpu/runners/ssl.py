@@ -4,8 +4,16 @@ Reference flow (model/SSL_model.py:276-391 + train_ssl.py:16-91 +
 inference_only.py:47-90):
   - two augmented views per batch (TimeSeriesTransform) -> InfoNCE + online
     head BCE;
+  - batching: unlike the CSI loop (train.py:80-82, which skips the last
+    batch), train_ssl.py:37 iterates EVERY DataLoader batch including the
+    final partial one — mirrored here (r5 fix; caught writing the SSL
+    engine-parity tool);
   - per-epoch eval: ONE test batch through the online head (accuracy);
-  - best weights by that accuracy, final weights if it never improves;
+  - best-weight selection is DEAD CODE in the reference: train_ssl.py:24
+    hardcodes saving_flag=False, so the epoch-best branch (:76-86) never
+    fires and the FINAL weights are always returned (:88-90). Default
+    behavior here matches; `select_best=True` enables the rule the
+    reference evidently intended (documented divergence knob).
   - final: full-test-set online-head evaluation.
 
 TPU-native: the two views are generated in-graph (jax.random) inside the
@@ -27,11 +35,17 @@ from sklearn.metrics import accuracy_score, classification_report
 from ..core.config import Config
 from ..models.csi.ssl import SSLModel, ssl_loss, two_views
 from ..train.loop import adam_like_torch, eval_dataset
-from ..data.pipeline import device_batches, epoch_batches
+from ..data.pipeline import device_batches
 
 
 def run_ssl(cfg: Config, data: Optional[Tuple[np.ndarray, ...]] = None,
-            save_path: Optional[str] = None) -> Dict[str, Any]:
+            save_path: Optional[str] = None,
+            history: Optional[list] = None,
+            select_best: bool = False) -> Dict[str, Any]:
+    """`history`, when given, collects one dict per (repeat, epoch) with the
+    epoch's mean train loss (InfoNCE + online-head BCE) and the one-batch
+    eval accuracy — the numbers the reference prints per epoch
+    (train_ssl.py:50-67); used by tests/test_convergence.py."""
     from .csi import master_split, _layout
     if data is None:
         x_tr, x_te, y_tr, y_te = master_split(cfg, "raw")
@@ -87,11 +101,27 @@ def run_ssl(cfg: Config, data: Optional[Tuple[np.ndarray, ...]] = None,
         best_acc = 0.0
         best = (jax.device_get(params), jax.device_get(batch_stats))
         n = x_tr.shape[0]
+        bs = cfg.nn.batch_size
         t0 = time.time()
         for epoch in range(cfg.nn.epoch):
-            idx = epoch_batches(n, cfg.nn.batch_size, np_rng, skip_last=True)
+            # train_ssl.py:26 DataLoader(shuffle=True) with NO drop_last:
+            # every batch trains, including the partial final one (unlike the
+            # CSI loop's train.py:80-82 skip). The ragged tail costs one
+            # extra jit specialization; the reference pays a dynamo
+            # recompile for the same reason.
+            perm = np_rng.permutation(n)
+            nb = n // bs
+            idx = perm[:nb * bs].reshape(nb, bs)
+            tail = perm[nb * bs:]
+
+            def _batches():
+                yield from device_batches(x_tr, y_tr_flat, idx)
+                if tail.size:
+                    yield (jnp.asarray(x_tr[tail]),
+                           jnp.asarray(y_tr_flat[tail]))
+
             total_loss, total_n = 0.0, 0
-            for bx, by in device_batches(x_tr, y_tr_flat, idx):
+            for bx, by in _batches():
                 rng, srng = jax.random.split(rng)
                 params, batch_stats, opt_state, loss = step(
                     params, batch_stats, opt_state, bx, by, srng)
@@ -104,12 +134,19 @@ def run_ssl(cfg: Config, data: Optional[Tuple[np.ndarray, ...]] = None,
             logits = np.asarray(infer(params, batch_stats, jnp.asarray(xb)))
             pred = (1 / (1 + np.exp(-logits)) > cfg.nn.threshold).astype(int)
             acc = accuracy_score(yb.astype(int), pred)
-            if acc > best_acc:
+            if history is not None:
+                history.append({"repeat": r, "epoch": epoch,
+                                "train_loss": total_loss / max(total_n, 1),
+                                "accuracy_batch": float(acc)})
+            if select_best and acc > best_acc:
                 best_acc = acc
                 best = (jax.device_get(params), jax.device_get(batch_stats))
         t1 = time.time()
 
-        if best_acc == 0.0:   # never improved -> final weights
+        if not select_best or best_acc == 0.0:
+            # reference default (saving_flag=False, train_ssl.py:24): the
+            # best-weight branch never fires -> FINAL weights always win
+            # (train_ssl.py:88-90); also the never-improved fallback.
             best = (jax.device_get(params), jax.device_get(batch_stats))
         if save_path:         # checkpoint for inference_only (train_ssl.py:80-86)
             from ..core.checkpoint import save_components
