@@ -41,11 +41,18 @@ from ..data.pipeline import device_batches
 def run_ssl(cfg: Config, data: Optional[Tuple[np.ndarray, ...]] = None,
             save_path: Optional[str] = None,
             history: Optional[list] = None,
-            select_best: bool = False) -> Dict[str, Any]:
+            select_best: bool = False,
+            view_fn=None) -> Dict[str, Any]:
     """`history`, when given, collects one dict per (repeat, epoch) with the
     epoch's mean train loss (InfoNCE + online-head BCE) and the one-batch
     eval accuracy — the numbers the reference prints per epoch
-    (train_ssl.py:50-67); used by tests/test_convergence.py."""
+    (train_ssl.py:50-67); used by tests/test_convergence.py.
+
+    `view_fn(rng, bx) -> (v1, v2)` overrides the stochastic two_views
+    augmentation (the reference's TimeSeriesTransform equivalent) with a
+    caller-supplied view generator; tools/ssl_engine_parity.py passes a
+    deterministic pair so the loop can be compared bit-for-bit against the
+    reference's own train_ssl() loop."""
     from .csi import master_split, _layout
     if data is None:
         x_tr, x_te, y_tr, y_te = master_split(cfg, "raw")
@@ -78,7 +85,7 @@ def run_ssl(cfg: Config, data: Optional[Tuple[np.ndarray, ...]] = None,
         @jax.jit
         def step(params, batch_stats, opt_state, bx, by, rng):
             aug_rng, drop_rng = jax.random.split(rng)
-            v1, v2 = two_views(aug_rng, bx)
+            v1, v2 = (view_fn or two_views)(aug_rng, bx)
 
             def loss_wrap(p):
                 (z1, z2, logits), mut = model.apply(

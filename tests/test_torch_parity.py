@@ -352,6 +352,24 @@ def test_video_engine_parity_vs_reference_train_loop():
         res["best_weight_err"] < 2e-2, res
 
 
+def test_ssl_engine_parity_vs_reference_train_ssl_loop():
+    """run_ssl vs the reference's OWN train_ssl() (train_ssl.py:16-91)
+    end-to-end: every-batch training INCLUDING the partial final batch
+    (n=20/batch=8), sample-weighted epoch loss, one-test-batch online-head
+    accuracy, and the final-weights-always rule (saving_flag=False dead
+    code). Epoch 0 must match to ~1e-4 rel; the one-batch accuracy EXACTLY
+    every epoch; later-epoch loss and final-weight drift are InfoNCE-
+    amplified f32 chaos (lr=1e-5 collapses them to 3e-6 / 3.9e-8 — measured
+    profile in tools/ssl_engine_parity.py). (VERDICT r4 next #6)"""
+    from tools.ssl_engine_parity import ssl_engine_parity
+    res = ssl_engine_parity()
+    assert res["per_epoch"][0]["train_loss"] < 1e-4, res
+    assert all(e["accuracy_batch"] == 0.0 for e in res["per_epoch"]), res
+    assert res["worst"]["train_loss"] < 2e-2, res
+    assert len(res["per_epoch"]) == res["epochs"], res
+    assert res["final_weight_err_p999"] < 5e-3, res
+
+
 # ---------------------------------------------------------------------------
 # CHECKPOINT IMPORT round-trips (tools/import_torch_csi.py): a randomly
 # initialized reference torch module's state_dict is imported into our flax
