@@ -149,7 +149,12 @@ def main() -> None:
     csi_fn = lambda v, xs: model.apply(v, xs, train=False)  # noqa: E731
     step, flops = aot_chain_step(csi_fn, variables, x)
     _beat("DETR compiled; timing chained-marginal")
-    wps, samples = chained_rate(step, variables, x, batch)
+    # median-of-5 for the HEADLINE (other axes stay at 3): r4's graded
+    # number drifted -11% on a single 3-rep observation; two independent
+    # r5 runs landed back inside BASELINE.md's 24.5-26.7k band, so the
+    # drift was tunnel spread — wider reps narrow the headline's spread
+    # at ~8 s/rep cost (VERDICT r4 next #2).
+    wps, samples = chained_rate(step, variables, x, batch, reps=5)
     result.update(
         value=round(wps, 2),
         vs_baseline=round(wps / PYTORCH_CPU_BASELINE_WPS, 2),
