@@ -312,38 +312,41 @@ def test_video_train_step_parity_mvit_v2():
 
 def test_engine_parity_vs_reference_train_loop():
     """fit() vs the reference's OWN train() (train.py:36-176) end-to-end:
-    shuffled skip-last batching (torch randperm replays fit's np_rng),
-    last-batch train metrics with the astype(int) truncation, full-test
-    eval, metric keys — epoch 0 must match to ~1e-4 / exactly on discrete
-    metrics; later epochs drift by accumulated f32 chaos (documented in
-    tools/engine_parity.py) and only the loop structure is asserted."""
+    shuffled skip-last batching (torch randperm replays fit's np_rng,
+    mapping only RandomSampler's even-indexed draws — the second draw per
+    epoch is discarded; r5 fix), last-batch train metrics with the
+    astype(int) truncation, full-test eval, metric keys. With aligned
+    shuffles EVERY epoch of 12 matches to f32 resolution: losses <= 1e-5
+    rel, discrete metrics EXACT, best weights <= 1e-4 (measured profile in
+    tools/engine_parity.py: worst 1.9e-6 / 0 / 5.3e-6)."""
     from tools.engine_parity import engine_parity
     res = engine_parity()
-    e0 = res["per_epoch"][0]
-    assert e0["train_loss"] < 1e-4, res
-    assert e0["test_loss"] < 1e-4, res
-    assert e0["f1_score"] < 1e-6, res
-    assert e0["perfect_prediction_percentage_test"] < 1e-6, res
-    assert e0["accuracy_test"] < 1e-6, res
-    assert res["per_epoch"][1]["train_loss"] < 2e-2, res
+    for e in res["per_epoch"]:
+        assert e["train_loss"] < 1e-5, res
+        assert e["test_loss"] < 1e-5, res
+        assert e["f1_score"] == 0.0, res
+        assert e["perfect_prediction_percentage_test"] == 0.0, res
+        assert e["accuracy_test"] == 0.0, res
     assert len(res["per_epoch"]) == res["epochs"], res
     assert res["best_epoch"] >= 0, res   # the strict improve rule fired
+    assert res["best_weight_err"] < 1e-4, res
 
 
 def test_video_engine_parity_vs_reference_train_loop():
     """fit_video vs the reference's OWN video train()/test()
     (video/train.py:19-103) end-to-end on an r3d_18 replica: per-epoch dual
     FULL-dataset evaluation, last-batch printed train loss, best-weight by
-    strict test-accuracy improvement. Epoch 0 must match to ~1e-5 / exactly
-    on accuracies; later epochs drift by accumulated f32 chaos through 18
-    BN'd conv layers (measured profile in tools/video_engine_parity.py) and
-    only the composition is asserted (VERDICT r3 next #3)."""
+    strict test-accuracy improvement. With aligned shuffles (the r5
+    RandomSampler double-draw fix) EVERY epoch matches: train loss growing
+    1.8e-7 -> 1.5e-4 rel (f32 drift through 18 BN'd conv layers),
+    accuracies EXACT (measured profile in tools/video_engine_parity.py)
+    (VERDICT r3 next #3)."""
     from tools.video_engine_parity import video_engine_parity
     res = video_engine_parity()
-    e0, e1 = res["per_epoch"][0], res["per_epoch"][1]
-    assert e0["train_loss"] < 1e-5, res
-    assert e0["train_acc"] == 0.0 and e0["test_acc"] == 0.0, res
-    assert e1["train_acc"] == 0.0 and e1["test_acc"] == 0.0, res
+    assert res["per_epoch"][0]["train_loss"] < 1e-5, res
+    for e in res["per_epoch"]:
+        assert e["train_loss"] < 2e-3, res
+        assert e["train_acc"] == 0.0 and e["test_acc"] == 0.0, res
     assert len(res["per_epoch"]) == res["epochs"], res
     # the reference's strict test-acc rule fired, and both loops selected
     # weights within the drift envelope

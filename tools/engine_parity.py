@@ -11,13 +11,15 @@ best-weight rule (BOTH f1 AND perfect-prediction-% must strictly improve),
 and patience-based early stopping — all executed by the reference's own
 code with its own performance_metrics.
 
-MEASURED divergence profile (the honest read): epoch 0 matches to ~1e-6
-in train loss and EXACTLY in every discrete metric; from epoch ~2 the two
-frameworks' accumulated f32 rounding (3 BN train steps/epoch at the
-raised lr) drifts percent-level and the argmax/threshold metrics flip
-with it — the same chaos class as the DETR train-parity caveat, present
-between any two builds. The assertions therefore pin the first epochs
-tightly and the loop STRUCTURE (record count, rule firing) thereafter.
+MEASURED divergence profile (r5, after the RandomSampler double-draw fix
+below): EVERY epoch of 12 matches — train/test loss <= 1.9e-6 rel,
+discrete metrics (f1/PPP/accuracy) EXACT, best epoch identical,
+best-weight max leaf err 5.3e-6. The r3-r4 read that epoch >= 2 drifted
+percent-level by "accumulated f32 chaos" was wrong: the drift was a
+one-permutation shuffle offset (the replay missed RandomSampler's
+discarded second draw per epoch), i.e. the two loops were training on
+differently-ordered batches from epoch 1 on. With aligned shuffles the
+two frameworks track each other to f32 resolution for the whole run.
 
 Cross-framework determinism plumbing (the only neutralized parts):
   - shuffling: torch's RandomSampler calls torch.randperm once per epoch;
@@ -76,9 +78,21 @@ def deterministic_torch_loop(seed: int, n: int):
     orig_rand = torch.rand
     orig_bernoulli = torch.bernoulli
 
+    # MEASURED (this torch build; caught via tools/ssl_engine_parity.py):
+    # RandomSampler consumes TWO randperm(n) draws per epoch — the yielded
+    # shuffle plus an unconditional trailing draw whose slice
+    # `[:num_samples % n]` is EMPTY and discarded. Only even-indexed draws
+    # map to fit's one-permutation-per-epoch np stream; odd draws pass
+    # through. Before this fix the replay was offset by one permutation
+    # from epoch 1 on, and the "accumulated f32 chaos" read of later-epoch
+    # drift included a batch-composition component.
+    state = {"i": 0}
+
     def randperm(num, *a, **k):
-        if num == n:      # the sampler's epoch shuffle
-            return torch.from_numpy(perm_rng.permutation(num))
+        if num == n:      # the sampler's epoch draws
+            i, state["i"] = state["i"], state["i"] + 1
+            if i % 2 == 0:
+                return torch.from_numpy(perm_rng.permutation(num))
         return orig_randperm(num, *a, **k)
 
     torch.randperm = randperm

@@ -27,10 +27,13 @@ Determinism plumbing (same class as tools/engine_parity.py):
   - r3d_18 has no dropout/stochastic depth, so no RNG neutralization is
     needed beyond the shuffle.
 
-Expected profile (mirrors the CSI engine parity): first epochs tight
-(~1e-6 train-loss rel, accuracies EXACT), later epochs drift with
-accumulated f32 rounding between frameworks; the assertions pin the early
-epochs and the loop structure throughout.
+MEASURED profile (r5, after the RandomSampler double-draw fix in
+deterministic_video_loop): every epoch of 4 — train loss 1.8e-7 /
+2.7e-6 / 2.1e-5 / 1.5e-4 rel (pure f32 drift growth through 18 BN'd conv
+layers), train/test accuracies EXACT, best-weight rule fires on both
+sides, selected weights within 1.5e-3 max leaf err (BN running stats
+integrate the drift). Before the fix the replay was offset by one
+permutation from epoch 1 on and only epoch 0 was assertable.
 
 Usage: python tools/video_engine_parity.py
 """
@@ -70,10 +73,16 @@ def deterministic_video_loop(mod, seed: int, n: int):
     perm_rng = np.random.default_rng(seed)
     orig_randperm = torch.randperm
     orig_loader = mod.DataLoader
+    # RandomSampler consumes TWO randperm(n) draws per epoch (second one
+    # discarded) — map only even-indexed draws to fit_video's np stream;
+    # see tools/ssl_engine_parity.py where this was caught (r5).
+    state = {"i": 0}
 
     def randperm(num, *a, **k):
-        if num == n:          # the RandomSampler's epoch shuffle
-            return torch.from_numpy(perm_rng.permutation(num))
+        if num == n:          # the RandomSampler's epoch draws
+            i, state["i"] = state["i"], state["i"] + 1
+            if i % 2 == 0:
+                return torch.from_numpy(perm_rng.permutation(num))
         return orig_randperm(num, *a, **k)
 
     def loader(dataset, batch_size, **kw):
