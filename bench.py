@@ -136,8 +136,12 @@ def main() -> None:
     dtype = jnp.bfloat16
     model = DETRMultiUser(token_length=10, num_decoder_layers=6,
                           temp_cross=2.0, num_queries=5, dim_feedforward=512)
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, 3000, 270)), dtype)
+    # f32 host RNG: .normal() defaults to f64 — 1.6 GB and ~2x the gen time
+    # for a 207M-element array on this 1-core box, for identical timing
+    _beat(f"generating CSI input ({batch}x3000x270)")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        size=(batch, 3000, 270), dtype=np.float32), dtype)
+    _beat("initializing DETR")
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            x[:2].astype(jnp.float32), train=False)
     variables = jax.tree_util.tree_map(
@@ -171,6 +175,7 @@ def main() -> None:
     if _remaining() > float(os.environ.get("BENCH_AXIS_FLOOR_S", "240")):
         try:
             from multi_modal_csi_tpu.core.quantize import quantize_for_serving
+            _beat("quantizing DETR w8a8 (calibration pass)")
             calib = [jnp.asarray(np.asarray(x[:32], np.float32))]
             qv = quantize_for_serving(model, variables, calib, mode="w8a8",
                                       train=False)
@@ -192,8 +197,10 @@ def main() -> None:
             from multi_modal_csi_tpu.models.video.s3d import S3D
             vbatch = 1 if smoke else 32
             vmodel = S3D(out_features=9)
-            vx = jnp.asarray(np.random.default_rng(1).normal(
-                size=(vbatch, 45, 224, 224, 3)), dtype)
+            _beat(f"generating video input ({vbatch}x45x224x224x3)")
+            vx = jnp.asarray(np.random.default_rng(1).standard_normal(
+                size=(vbatch, 45, 224, 224, 3), dtype=np.float32), dtype)
+            _beat("initializing S3D")
             vv = vmodel.init({"params": jax.random.PRNGKey(1)},
                              vx[:2].astype(jnp.float32), train=False)
             vv = jax.tree_util.tree_map(
