@@ -209,10 +209,16 @@ def calibrate(apply_fn: Callable, variables: Dict, batches,
         raise ValueError(f"unknown calibration stat {stat!r}")
     params = variables["params"] if "params" in variables else variables
     amax: Dict[Tuple[str, ...], Optional[float]] = {}
+    # jit the calibration forward: an eager model.apply is hundreds of
+    # per-op dispatches — tens of seconds per batch over a remote/tunneled
+    # backend; one compiled (and persistently cacheable) program instead.
+    # The single device_get below fetches the whole stats tree in one
+    # round trip rather than one per hooked layer.
+    jitted = jax.jit(lambda v, b: apply_fn(v, b, mutable=[STATS_COL])[1])
     for batch in batches:
-        _, aux = apply_fn(variables, batch, mutable=[STATS_COL])
+        aux = jax.device_get(dict(jitted(variables, batch)))
         for keypath, val in jax.tree_util.tree_flatten_with_path(
-                dict(aux).get(STATS_COL, {}))[0]:
+                aux.get(STATS_COL, {}))[0]:
             names = _dict_path(keypath)
             if names and names[-1].startswith("wonly__"):
                 path = names[:-1] + (names[-1][len("wonly__"):],)
@@ -223,7 +229,7 @@ def calibrate(apply_fn: Callable, variables: Dict, batches,
                     continue
                 names = names[:-1]
             path = names + ("kernel",)
-            vmax = float(np.max(np.asarray(jax.device_get(val))))
+            vmax = float(np.max(np.asarray(val)))
             amax[path] = max(amax.get(path) or 0.0, vmax)
     for path in amax:
         node: Any = params
@@ -269,7 +275,12 @@ def quantize_params(params: Dict, amax: Dict[Tuple[str, ...], float],
                 out[key] = val
         return out
 
-    return walk(params, ())
+    # One compiled program for the whole tree transform: the per-kernel
+    # round/clip/cast ops are trivially cheap but an eager walk dispatches
+    # each one individually — ~100 remote round trips on a tunneled
+    # backend. All branch decisions (paths, sizes, dtypes) are static, so
+    # the jit traces the identical tree.
+    return jax.jit(lambda p: walk(p, ()))(params)
 
 
 def quantize_for_serving(model, variables: Dict, batches, mode: str = "w8",
