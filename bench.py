@@ -111,6 +111,11 @@ def main() -> None:
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     smoke = os.environ.get("BENCH_SMOKE") == "1"
+    if smoke or os.environ.get("BENCH_PLATFORM", "") not in ("", "tpu"):
+        # smoke/off-platform numbers are meaningless — never let them
+        # clobber the git-tracked real-TPU checkpoint (BENCH_SELF.json)
+        global SELF_PATH
+        SELF_PATH = os.path.join(REPO, "BENCH_SELF_SMOKE.json")
 
     try:
         jax.config.update("jax_compilation_cache_dir",

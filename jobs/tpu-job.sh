@@ -16,11 +16,13 @@ DRY=${DRY_RUN:-0}
 RUN=""
 if [ "$DRY" = "1" ]; then RUN="echo DRY"; fi
 
-WORKDIR=${SLURM_TMPDIR:-$(mktemp -d)}
 SRC=${SRC:-$(pwd)}
 RESULTS=${RESULTS:-$SRC/results}
 
 if [ "$DRY" != "1" ]; then
+  # WORKDIR only materializes on real runs: a dry run must not leak a
+  # mktemp dir per invocation
+  WORKDIR=${SLURM_TMPDIR:-$(mktemp -d)}
   echo "staging $SRC -> $WORKDIR"
   rsync -a --exclude results --exclude .git "$SRC/" "$WORKDIR/"
   cd "$WORKDIR"
@@ -37,7 +39,7 @@ export ENVIRONMENTS_EXP=${ENVIRONMENTS_EXP:-empty_room}
 # DATA_PATH must point at the WiMANS dataset root
 export DATA_PATH=${DATA_PATH:?set DATA_PATH to the dataset root}
 
-mkdir -p results
+if [ "$DRY" != "1" ]; then mkdir -p results; fi
 $RUN python -m multi_modal_csi_tpu.cli.run_csi \
     --model "$MODEL_TYPE" --task "${TASK:-activity}" \
     --repeat "${REPEAT:-8}"

@@ -366,7 +366,10 @@ def test_ssl_engine_parity_vs_reference_train_ssl_loop():
     profile in tools/ssl_engine_parity.py). (VERDICT r4 next #6)"""
     from tools.ssl_engine_parity import ssl_engine_parity
     res = ssl_engine_parity()
-    assert res["per_epoch"][0]["train_loss"] < 1e-4, res
+    # measured 5.8e-5; 5e-4 keeps the sibling tests' >=3x margin class
+    # (InfoNCE's 1/0.1 temperature amplifies f32 accumulation-order noise,
+    # so a BLAS/jax update can plausibly double the residual)
+    assert res["per_epoch"][0]["train_loss"] < 5e-4, res
     assert all(e["accuracy_batch"] == 0.0 for e in res["per_epoch"]), res
     assert res["worst"]["train_loss"] < 2e-2, res
     assert len(res["per_epoch"]) == res["epochs"], res

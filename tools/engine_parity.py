@@ -78,24 +78,13 @@ def deterministic_torch_loop(seed: int, n: int):
     orig_rand = torch.rand
     orig_bernoulli = torch.bernoulli
 
-    # MEASURED (this torch build; caught via tools/ssl_engine_parity.py):
-    # RandomSampler consumes TWO randperm(n) draws per epoch — the yielded
-    # shuffle plus an unconditional trailing draw whose slice
-    # `[:num_samples % n]` is EMPTY and discarded. Only even-indexed draws
-    # map to fit's one-permutation-per-epoch np stream; odd draws pass
-    # through. Before this fix the replay was offset by one permutation
-    # from epoch 1 on, and the "accumulated f32 chaos" read of later-epoch
-    # drift included a batch-composition component.
-    state = {"i": 0}
-
-    def randperm(num, *a, **k):
-        if num == n:      # the sampler's epoch draws
-            i, state["i"] = state["i"], state["i"] + 1
-            if i % 2 == 0:
-                return torch.from_numpy(perm_rng.permutation(num))
-        return orig_randperm(num, *a, **k)
-
-    torch.randperm = randperm
+    # RandomSampler's measured two-draws-per-epoch mapping is shared by
+    # all three engine-parity harnesses: tools/replay_lib.py (r5; before
+    # it the replay was offset by one permutation from epoch 1 on, and
+    # the "accumulated f32 chaos" read of later-epoch drift included a
+    # batch-composition component).
+    from tools.replay_lib import make_replay_randperm
+    torch.randperm = make_replay_randperm(n, perm_rng, orig_randperm)
     # augmentation neutral elements: noise 0, scale (0.5*0.2+0.9)=1, mask 1.
     # torch.rand returns a 0-d tensor: the reference's scale chain
     # (rand(B,1).unsqueeze(-1)) is written for 3-D batches and would

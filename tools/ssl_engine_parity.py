@@ -78,27 +78,16 @@ def replayed_shuffle(seed: int, n: int):
     """Replay run_ssl's per-epoch np permutation inside the reference
     loop's RandomSampler (same plumbing as tools/engine_parity.py).
 
-    MEASURED (this torch build): RandomSampler consumes TWO randperm(n)
-    draws per epoch — the yielded shuffle plus the unconditional trailing
-    `tolist()[:num_samples % n]` draw, whose slice is EMPTY here
-    (num_samples == n) and is discarded. Only even-indexed draws map to
-    run_ssl's one-permutation-per-epoch stream; odd draws pass through.
-    Without this the replay is offset by one permutation from epoch 1 on
-    (epoch 0 matches, epoch 1 shows ~2% batch-composition loss deltas even
-    at lr=1e-5 — how this was caught)."""
+    The RandomSampler double-draw mapping (and the measurement behind it —
+    epoch 1 showed ~2% batch-composition loss deltas even at lr=1e-5
+    before it, which is how the offset was caught) lives in
+    tools/replay_lib.py, shared by all three engine-parity harnesses."""
     import torch
+
+    from tools.replay_lib import make_replay_randperm
     perm_rng = np.random.default_rng(seed)
     orig_randperm = torch.randperm
-    state = {"i": 0}
-
-    def randperm(num, *a, **k):
-        if num == n:          # the sampler's epoch draws
-            i, state["i"] = state["i"], state["i"] + 1
-            if i % 2 == 0:    # the real epoch shuffle
-                return torch.from_numpy(perm_rng.permutation(num))
-        return orig_randperm(num, *a, **k)
-
-    torch.randperm = randperm
+    torch.randperm = make_replay_randperm(n, perm_rng, orig_randperm)
     try:
         yield
     finally:
@@ -193,9 +182,17 @@ def ssl_engine_parity(epochs: int = 3, n: int = 20, n_test: int = 8,
         for k in worst:
             worst[k] = max(worst[k], rec[k])
 
-    # final-weight comparison: train_ssl's returned tree IS tm's final
-    # state; transplant our checkpointed tree into a fresh SS_Model
-    assert final_weight is tm.state_dict() or final_weight is not None
+    # final-weight check: the reference's saving_flag is dead code
+    # (train_ssl.py:24), so the returned tree must equal tm's CURRENT
+    # (final) state tensor-by-tensor — an identity check cannot work,
+    # state_dict() builds a fresh dict per call. This is what actually
+    # pins the final-weights-always rule: a snapshot of any earlier epoch
+    # would differ.
+    cur = tm.state_dict()
+    assert set(final_weight) == set(cur)
+    for k in cur:
+        assert torch.equal(final_weight[k], cur[k]), \
+            f"train_ssl returned non-final weights at {k}"
     perr, pkey, frac, p999 = _compare_final_params(
         make_torch, transplant_ssl, tm, params, stats)
     return {"per_epoch": per_epoch, "worst": worst, "epochs": epochs,

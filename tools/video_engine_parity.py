@@ -73,23 +73,15 @@ def deterministic_video_loop(mod, seed: int, n: int):
     perm_rng = np.random.default_rng(seed)
     orig_randperm = torch.randperm
     orig_loader = mod.DataLoader
-    # RandomSampler consumes TWO randperm(n) draws per epoch (second one
-    # discarded) — map only even-indexed draws to fit_video's np stream;
-    # see tools/ssl_engine_parity.py where this was caught (r5).
-    state = {"i": 0}
-
-    def randperm(num, *a, **k):
-        if num == n:          # the RandomSampler's epoch draws
-            i, state["i"] = state["i"], state["i"] + 1
-            if i % 2 == 0:
-                return torch.from_numpy(perm_rng.permutation(num))
-        return orig_randperm(num, *a, **k)
+    # RandomSampler's measured two-draws-per-epoch mapping is shared by
+    # all three engine-parity harnesses: tools/replay_lib.py (r5).
+    from tools.replay_lib import make_replay_randperm
 
     def loader(dataset, batch_size, **kw):
         kw["num_workers"] = 0
         return DataLoader(dataset, batch_size, **kw)
 
-    torch.randperm = randperm
+    torch.randperm = make_replay_randperm(n, perm_rng, orig_randperm)
     mod.DataLoader = loader
     try:
         yield
